@@ -1,0 +1,60 @@
+"""Stage 2 — parse: text → (s, p, o, url) triple rows.
+
+Spark lift of the compat-exact N-Triples parser
+(kgpipe.nt.parser; reference /root/reference/common.go:41-66).
+One page's `text` holds many lines; this is a one→many operator, so
+it runs as ``mapInPandas`` (Arrow batch in, Arrow batch out) — the
+Spark-native replacement for the reference's goroutine worker pool
+(/root/reference/cmd/ntto/ntto.go:21-34,174-199). Narrow transform:
+no shuffle.
+
+Failed parses are quarantined as rows with s/p/o NULL and `error`
+set, replacing the reference's fatal-or-`-i`-skip behavior
+(cmd/ntto/ntto.go:26-31, quirk Q9); callers filter
+``col("s").isNotNull()`` for the clean stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from kgpipe.nt.parser import parse_nt_frame
+
+TRIPLES_SCHEMA = "s string, p string, o string, url string, error string"
+
+
+def parse_pages_to_triples(pages_df, text_col: str = "text", url_col: str = "url"):
+    """pages(text, url, ...) → triples(s, p, o, url, error).
+
+    The line-split and the parse happen inside the same Arrow batch
+    (one pass; no intermediate explode materialization).
+"""
+    src = pages_df.select(url_col, text_col)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = pdf[text_col].fillna("").str.split("\n")
+            counts = lines.str.len().fillna(0).astype(int)
+            urls = pdf[url_col].repeat(counts).reset_index(drop=True)
+            flat = pd.Series(
+                [ln for sub in lines for ln in sub], dtype="object"
+            )
+            parsed = parse_nt_frame(flat)
+            parsed["url"] = urls
+            yield parsed[["s", "p", "o", "url", "error"]]
+
+    return src.mapInPandas(_parse, schema=TRIPLES_SCHEMA)
+
+
+def parse_lines_to_triples(lines_df, line_col: str = "line"):
+    """One-line-per-row variant (the reference's native input shape:
+    an NT file read as lines). lines(line) → (s, p, o, error)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = parse_nt_frame(pdf[line_col])
+            yield parsed[["s", "p", "o", "error"]]
+
+    return lines_df.mapInPandas(_parse, schema="s string, p string, o string, error string")

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is a stand-in for a multi-executor cluster: the configs
+here (AQE, skew-join handling, shuffle-partition sizing, Arrow) are
+the ones that matter at cluster scale; tests exercise them on
+local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kgpipe",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the pipeline.
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splits.
+    - Arrow on: every pandas UDF / mapInPandas stage moves columnar
+      batches, not pickled rows.
+    - shuffle partitions sized to parallelism, not the 200 default.
+    - UTC session TZ so results compare exactly against DuckDB oracles.
+    """
+    # Make the package importable in executor Python workers. On a
+    # real cluster this is `spark-submit --py-files kgpipe.zip`; in
+    # local mode the worker daemon inherits the driver's environment,
+    # so extend PYTHONPATH before the session starts.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cores = _parse_local_cores(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _parse_local_cores(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return int(inner)
+        except ValueError:
+            return 8
+    return 32
