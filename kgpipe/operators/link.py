@@ -1,0 +1,184 @@
+"""Entity linking: build sameAs edges from (a) explicit owl:sameAs
+triples and (b) minhash-LSH near-duplicate URI detection.
+
+Everything here is built-in Spark SQL expressions — no Python UDFs
+at all. The minhash signature is computed WITHOUT exploding shingles:
+
+    shingles  : transform(sequence(...), i -> substring(s, i, k))
+    signature : aggregate(shingles, [MAX..], (acc, x) ->
+                  zip_with(acc, [xxhash64(x, seed_i)...], least))
+
+i.e. a per-row fold inside whole-stage codegen — a narrow transform.
+The only shuffle in candidate generation is the groupBy on
+(band, band_hash), which is exactly the LSH bucket join. Compare with
+driving this through a pandas UDF: same math, but leaves codegen and
+pays Arrow serde for every row. At 10^12 pages that difference is the
+job.
+
+Bucket-size capping bounds the quadratic pair blowup from degenerate
+buckets (empty strings, boilerplate URIs) — a skew guard, not a
+correctness device: capped buckets are counted and surfaced so the
+recall budget is visible (SURVEY.md §6 P/R ≥ 0.95).
+
+Reference relation: ntto has no linking at all; the north rule adds
+"minhash-style URI dedup" as a pipeline stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LONG_MAX = (1 << 63) - 1
+
+
+def normalize_uri(col: Column) -> Column:
+    """Canonical URI form for duplicate detection (FIXTURES.md F5
+    variants): https→http, strip www., strip one trailing slash,
+    decode %20."""
+    c = F.regexp_replace(col, r"^https://", "http://")
+    c = F.regexp_replace(c, r"^http://www\.", "http://")
+    c = F.regexp_replace(c, r"/$", "")
+    c = F.regexp_replace(c, r"%20", " ")
+    return c
+
+
+def char_shingles(col: Column, k: int = 4) -> Column:
+    """Distinct character k-grams, computed JVM-side."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(k)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+    """array<long> minhash signature as a codegen'd fold — no explode,
+    no shuffle, no UDF."""
+    init = F.array_repeat(F.lit(LONG_MAX), num_hashes)
+
+    def merge(acc: Column, x: Column) -> Column:
+        hashes = F.array(*[F.xxhash64(x, F.lit(seed + i)) for i in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingles, init, merge)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "uri",
+    text_col: str = "norm",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 4,
+    max_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (a, b) candidate pairs with a < b, from banded minhash.
+
+    bands must divide num_hashes; rows per band r = num_hashes/bands.
+    Buckets larger than max_bucket are dropped (skew guard; the drop
+    count is available via the `lsh_bucket_stats` helper).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes, seed)
+    banded = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.xxhash64(F.slice(sig, j * r + 1, r)).alias("bh"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.band", "e.bh")
+
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.array_sort(F.array_distinct(F.col("ids")))
+    pairs = buckets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda a: F.transform(ids, lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                    )
+                ),
+                lambda st: st["a"] < st["b"],
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    return pairs.distinct()
+
+
+def verified_neardup_edges(
+    df: DataFrame,
+    id_col: str = "uri",
+    jaccard_threshold: float = 0.85,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Full near-dup linker: normalize → LSH candidates → exact
+    shingle-Jaccard verification ≥ threshold → edges(src, dst).
+
+    Exact-equality after normalization is always an edge regardless
+    of threshold (scheme/www/slash/%20 variants collapse to identical
+    normal forms)."""
+    base = df.select(
+        F.col(id_col).alias("uri"), normalize_uri(F.col(id_col)).alias("norm")
+    ).distinct()
+
+    cands = lsh_candidate_pairs(
+        base, "uri", "norm", num_hashes, bands, shingle_k, max_bucket
+    )
+    a = base.select(F.col("uri").alias("a"), F.col("norm").alias("norm_a"))
+    b = base.select(F.col("uri").alias("b"), F.col("norm").alias("norm_b"))
+    joined = cands.join(a, "a").join(b, "b")
+
+    sh_a = char_shingles(F.col("norm_a"), shingle_k)
+    sh_b = char_shingles(F.col("norm_b"), shingle_k)
+    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
+    verified = joined.where(
+        (F.col("norm_a") == F.col("norm_b")) | (jac >= F.lit(jaccard_threshold))
+    )
+    return verified.select(F.col("a").alias("src"), F.col("b").alias("dst")).distinct()
+
+
+def exact_normalized_edges(df: DataFrame, id_col: str = "uri") -> DataFrame:
+    """Precision-first URI dedup: URIs identical AFTER normalization
+    are duplicates, linked as a star around the min URI. One groupBy
+    on the normal form (map-side combine on min; bucket sizes are the
+    variant counts, i.e. tiny) — no candidate blowup, safe default
+    for entity identity. Jaccard-based near-dup linking
+    (verified_neardup_edges) is opt-in because a 1-character id
+    difference (gnd/123 vs gnd/124) is a DIFFERENT entity but a
+    high-Jaccard string."""
+    base = df.select(
+        F.col(id_col).alias("uri"), normalize_uri(F.col(id_col)).alias("norm")
+    ).distinct()
+    hubs = base.groupBy("norm").agg(F.min("uri").alias("hub"), F.count(F.lit(1)).alias("n"))
+    return (
+        base.join(hubs.where(F.col("n") > 1), "norm")
+        .where(F.col("uri") != F.col("hub"))
+        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+    )
+
+
+def sameas_edges_from_triples(triples: DataFrame, sameas_pred: str) -> DataFrame:
+    """Explicit owl:sameAs assertions → edges(src, dst). Accepts the
+    predicate in whatever form the triples carry (raw IRI or
+    abbreviated CURIE)."""
+    return (
+        triples.where(F.col("p") == sameas_pred)
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )

@@ -1,0 +1,211 @@
+"""End-to-end KG-construction pipeline with per-partition
+checkpointing and idempotent resume.
+
+Stages (SURVEY.md §3.4):
+
+  pages ──extract──▶ text ──parse──▶ triples ──abbrev──▶ triples_abbr
+     └─(per-partition checkpoints on each materialized stage)
+  triples_abbr ──link──▶ sameas_edges ──cc──▶ canonical_map
+  triples_abbr × canonical_map ──materialize──▶ edges (bucketed)
+
+Narrow stages (extract/parse/abbrev) are fused into ONE pass over
+pages — they pipeline inside the same tasks with no barrier, so a
+page's html is read once and its triples come out the other end
+without touching disk in between. Checkpointing operates on the
+fused stage's output partitions (part_id = pmod(xxhash64(url), n)).
+
+Shuffling stages (link, cc, materialize) run from the persisted
+triples table — re-runs after failure skip completed extract work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kgpipe.checkpoints import CheckpointLog, partition_fingerprints, with_part_id
+from kgpipe.io import TableIO
+from kgpipe.nt.rules import Rule, parse_rules
+from kgpipe.operators.abbrev import abbreviate_columns
+from kgpipe.operators.cc import canonical_map_for_nodes
+from kgpipe.operators.extract import with_extracted_text
+from kgpipe.operators.link import (
+    exact_normalized_edges,
+    sameas_edges_from_triples,
+    verified_neardup_edges,
+)
+from kgpipe.operators.materialize import canonicalize_triples, edges_with_buckets
+from kgpipe.operators.parse import parse_pages_to_triples
+
+
+TRIPLES_DDL = "s string, p string, o string, url string, part_id int"
+QUARANTINE_DDL = "url string, error string, part_id int"
+CMAP_DDL = "uri string, canon_id string"
+EDGES_DDL = "canon_s string, p string, canon_o string, part_id int"
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    rules_text: str
+    mode: str = "lpm"  # or "compat"
+    n_parts: int = 32  # checkpoint partitions (extract stage)
+    n_buckets: int = 32  # output edge buckets
+    # predicate as it appears AFTER abbreviation (the fixture RULES
+    # have no owl rule, so the full IRI survives)
+    sameas_pred: str = "http://www.w3.org/2002/07/owl#sameAs"
+    neardup_link: bool = True
+    # 1.0 → exact-normalized linking only (precision-first default);
+    # < 1.0 → minhash-LSH + Jaccard near-dup linking
+    jaccard_threshold: float = 1.0
+    cc_max_iter: int = 25
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    canonical_map: DataFrame
+    edges: DataFrame
+    counters: dict = field(default_factory=dict)
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> PipelineResult:
+    io = TableIO(spark, cfg.warehouse)
+    log = CheckpointLog(io)
+    rules = parse_rules(cfg.rules_text)
+
+    _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
+    triples = io.read("triples", TRIPLES_DDL)
+
+    _stage_link_canonicalize(spark, triples, cfg, io, log)
+    cmap = io.read("canonical_map", CMAP_DDL)
+
+    _stage_materialize(spark, triples, cmap, cfg, io, log)
+    edges = io.read("edges", EDGES_DDL)
+
+    counters = {
+        r["stage"]: {"n_in": r["n_in"], "n_out": r["n_out"], "n_err": r["n_err"]}
+        for r in log.read()
+        .groupBy("stage")
+        .agg(
+            F.sum("n_in").alias("n_in"),
+            F.sum("n_out").alias("n_out"),
+            F.sum("n_err").alias("n_err"),
+        )
+        .collect()
+    }
+    return PipelineResult(triples=triples, canonical_map=cmap, edges=edges, counters=counters)
+
+
+def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointLog, rules: list[Rule]):
+    """Fused narrow stage: html → text → (s,p,o,url) → abbreviated,
+    one pass, checkpointed per url-hash partition."""
+    stage = "extract_parse_abbrev"
+    src = with_part_id(pages.select("url", "html"), "url", cfg.n_parts)
+    todo = log.pending_partitions(stage, src, "url")
+
+    # nothing pending → stage already complete for this input
+    if todo.limit(1).count() == 0 and io.exists("triples"):
+        return
+
+    extracted = with_extracted_text(todo)
+    parsed = parse_pages_to_triples(extracted).withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(cfg.n_parts)).cast("int")
+    )
+    good = abbreviate_columns(
+        parsed.where(F.col("s").isNotNull()), ["s", "p", "o"], rules, mode=cfg.mode
+    ).select("s", "p", "o", "url", "part_id")
+    bad = parsed.where(F.col("s").isNull()).select("url", "error", "part_id")
+
+    # dynamic partition overwrite (set in kgpipe.session): only the
+    # part_ids present in `todo` are replaced — completed partitions'
+    # files are untouched, and a re-derived partition replaces any
+    # partial output a crashed attempt left behind
+    io.write(good, "triples", mode="overwrite", partition_by=["part_id"])
+    io.write(bad, "quarantine", mode="overwrite", partition_by=["part_id"])
+
+    # stats AFTER the writes succeeded: crash before this point leaves
+    # the partitions unlogged → recomputed on resume (idempotent
+    # because outputs are re-derived per partition deterministically;
+    # a half-written parquet dir has no _SUCCESS and is overwritten)
+    fps = partition_fingerprints(todo, "url")
+    out_counts = io.read("triples", TRIPLES_DDL).groupBy("part_id").agg(F.count(F.lit(1)).alias("n_out"))
+    err_counts = io.read("quarantine", QUARANTINE_DDL).groupBy("part_id").agg(F.count(F.lit(1)).alias("n_err"))
+    stats = (
+        fps.join(out_counts, "part_id", "left")
+        .join(err_counts, "part_id", "left")
+        .select(
+            "part_id",
+            "fingerprint",
+            "n_in",
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("n_err", F.lit(0)).alias("n_err"),
+        )
+    )
+    log.mark_done(stage, stats)
+
+
+def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLog):
+    """Shuffling stage: sameAs ∪ near-dup edges → connected
+    components → canonical_map. Whole-stage checkpoint (part_id 0):
+    the CC iteration is global, not per-partition."""
+    stage = "link_canonicalize"
+    fp_row = triples.agg(
+        F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    done = {
+        (r["part_id"], r["fingerprint"]) for r in log.completed(stage).collect()
+    }
+    if (0, fp_row["fp"]) in done and io.exists("canonical_map"):
+        return
+
+    explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
+    if cfg.neardup_link:
+        uris = (
+            triples.select(F.col("s").alias("uri"))
+            .union(triples.select(F.col("o").alias("uri")))
+            .distinct()
+        )
+        if cfg.jaccard_threshold >= 1.0:
+            near = exact_normalized_edges(uris, "uri")
+        else:
+            near = verified_neardup_edges(uris, "uri", cfg.jaccard_threshold)
+        edges = explicit.union(near)
+    else:
+        edges = explicit
+
+    nodes = edges.select(F.col("src").alias("uri")).union(
+        edges.select(F.col("dst").alias("uri"))
+    )
+    cmap = canonical_map_for_nodes(nodes, edges, max_iter=cfg.cc_max_iter)
+    io.write(cmap, "canonical_map", mode="overwrite")
+    n_out = io.read("canonical_map", CMAP_DDL).count()
+    stats = spark.createDataFrame(
+        [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
+        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
+    )
+    log.mark_done(stage, stats)
+
+
+def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLog):
+    stage = "materialize"
+    fp_row = triples.agg(
+        F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    done = {(r["part_id"], r["fingerprint"]) for r in log.completed(stage).collect()}
+    if (0, fp_row["fp"]) in done and io.exists("edges"):
+        return
+
+    edges = edges_with_buckets(
+        canonicalize_triples(triples, cmap, broadcast_map=True), cfg.n_buckets
+    )
+    io.write(edges, "edges", mode="overwrite", partition_by=["part_id"])
+    n_out = io.read("edges", EDGES_DDL).count()
+    stats = spark.createDataFrame(
+        [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
+        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
+    )
+    log.mark_done(stage, stats)

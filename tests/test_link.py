@@ -1,0 +1,67 @@
+"""Near-duplicate URI linking (minhash LSH + verification) on the F5
+fixture; plus the explicit owl:sameAs extractor."""
+
+from pyspark.sql import functions as F
+
+from kgpipe.fixtures import gen_neardup_uris
+from kgpipe.operators.cc import canonical_map_for_nodes
+from kgpipe.operators.link import (
+    normalize_uri,
+    sameas_edges_from_triples,
+    verified_neardup_edges,
+)
+
+
+def test_normalize_uri(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.example.org/a/",),
+            ("http://example.org/a",),
+            ("http://example.org/b%20c",),
+        ],
+        ["uri"],
+    )
+    got = [r.n for r in df.select(normalize_uri(F.col("uri")).alias("n")).collect()]
+    assert got == [
+        "http://example.org/a",
+        "http://example.org/a",
+        "http://example.org/b c",
+    ]
+
+
+def test_neardup_clusters_match_golden(spark):
+    """All five surface variants of each URI must land in one
+    component; the edit-distance-2 negatives must stay singletons.
+    This is the P/R=1.0 bar on the fixture."""
+    fix = gen_neardup_uris()
+    df = spark.createDataFrame(fix)
+    edges = verified_neardup_edges(df, "uri")
+    nodes = df.select(F.col("uri"))
+    cmap = canonical_map_for_nodes(nodes, edges)
+    got = {r.uri: r.canon_id for r in cmap.collect()}
+
+    # same golden group → same canon; different group → different canon
+    by_group = {}
+    for _, row in fix.iterrows():
+        by_group.setdefault(row.group_id, []).append(row.uri)
+    for gid, uris in by_group.items():
+        canons = {got[u] for u in uris}
+        assert len(canons) == 1, f"group {gid} split: {canons}"
+    canon_of_group = {gid: got[uris[0]] for gid, uris in by_group.items()}
+    assert len(set(canon_of_group.values())) == len(canon_of_group), "groups merged"
+
+
+def test_sameas_edges_from_triples(spark):
+    triples = spark.createDataFrame(
+        [
+            ("a", "owl:sameAs", "b"),
+            ("a", "rdf:type", "c"),
+            ("b", "owl:sameAs", "a"),
+        ],
+        ["s", "p", "o"],
+    )
+    got = {
+        (r.src, r.dst)
+        for r in sameas_edges_from_triples(triples, "owl:sameAs").collect()
+    }
+    assert got == {("a", "b"), ("b", "a")}
