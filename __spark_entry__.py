@@ -1,38 +1,523 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the kgpipe PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship mini KG pipeline on sf0.001.
+`queries()` exposes every SURVEY.md §2 operator as a (spark, sf_dir)
+callable; `oracle_sql()` gives the DuckDB-equivalent SQL the driver
+compares against at sf0.01 (row count + schema + order-insensitive
+value hash). Hash-seeded operators (minhash/simhash LSH) have no SQL
+twin and are listed without an oracle (rows-only check) — but their
+*verified* outputs (exact Jaccard, full-probe IVF) ARE oracle-checked.
+
+Column names are aliased identically on both sides (driver sorts
+columns by name before hashing).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+RULES_DDL_PATH = None  # rules are embedded (kgpipe.fixtures.RULES_16_TEXT)
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+_TITLE_P = "http://purl.org/dc/elements/1.1/title"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _nt_uri_lines(docs: DataFrame) -> DataFrame:
+    """Deterministic NT carrier with abbreviatable URIs:
+    <gnd/{id%50}> <rdf#type> <dbpedia Entity{id}> ."""
+    line = F.concat(
+        F.lit("<http://d-nb.info/gnd/"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+              "<http://dbpedia.org/resource/Entity"),
+        F.col("doc_id").cast("string"),
+        F.lit("> ."),
+    )
+    return docs.select("doc_id", line.alias("line"))
+
+
+def _parse_docs_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse each document's text as one NT line (ntto semantics:
+    any whitespace-tokenized line is parseable). Rows with <3 tokens
+    are quarantined; the query returns clean rows only."""
+    from kgpipe.operators.parse import parse_text_column
+
+    docs = _docs(spark, sf_dir)
+    parsed = parse_text_column(docs.withColumnRenamed("text", "line"), "line", ["doc_id"])
+    return parsed.where(F.col("error").isNull()).select("doc_id", "s", "p", "o")
+
+
+# SQL twin of the compat parser over a one-line text column
+# (mirrors /root/reference/common.go:41-66; see kgpipe/nt/parser.py)
+_PARSE_SQL_CTE = r"""
+with t as (
+  select doc_id, trim(text) as line,
+         regexp_split_to_array(trim(text), '\s+') as w
+  from documents
+), p as (
+  select doc_id, line, w, len(w) as n from t
+)
+select doc_id,
+  trim(w[1], '<>"') as s,
+  trim(w[2], '<>"') as p,
+  trim(case when n <= 4 then w[3]
+            when ends_with(line, '.') then array_to_string(w[3:n-1], ' ')
+            else array_to_string(w[3:n], ' ') end, '<>"') as o
+from p where n >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_nt_parse(spark, sf_dir):
+    return _parse_docs_text(spark, sf_dir)
+
+
+def q_nt_parse_abbrev(spark, sf_dir):
+    """Full parse+abbreviate path on constructed URI lines: the real
+    mapInPandas parser + broadcast LPM trie."""
+    from kgpipe.fixtures import RULES_16_TEXT
+    from kgpipe.nt.rules import parse_rules
+    from kgpipe.operators.abbrev import abbreviate_columns
+    from kgpipe.operators.parse import parse_text_column
+
+    lines = _nt_uri_lines(_docs(spark, sf_dir))
+    parsed = parse_text_column(lines, "line", ["doc_id"]).where(F.col("error").isNull())
+    abbr = abbreviate_columns(parsed, ["s", "p", "o"], parse_rules(RULES_16_TEXT), mode="lpm")
+    return abbr.select("doc_id", "s", "p", "o")
+
+
+def q_top_predicates(spark, sf_dir):
+    t = _parse_docs_text(spark, sf_dir)
+    return (
+        t.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("p").asc())
+        .limit(20)
+    )
+
+
+def q_triples_distinct(spark, sf_dir):
+    return _parse_docs_text(spark, sf_dir).select("s", "p", "o").distinct()
+
+
+def q_sameas_canonical(spark, sf_dir):
+    """Connected components (real large/small-star) over a closed-form
+    edge set: doc i ↔ doc i%100 ⇒ canon(uri_i) = uri_{i%100}."""
+    from kgpipe.operators.cc import canonical_map_for_nodes
+
+    docs = _docs(spark, sf_dir)
+    uri = F.concat(F.lit("http://ex.org/e/"), F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+    nodes = docs.select(uri.alias("uri"))
+    edges = docs.where(F.col("doc_id") >= 100).select(
+        uri.alias("src"),
+        F.concat(
+            F.lit("http://ex.org/e/"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 6, "0"),
+        ).alias("dst"),
+    )
+    return canonical_map_for_nodes(nodes, edges).select("uri", "canon_id")
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    from kgpipe.operators.dedup import distinct_documents
+
+    return distinct_documents(_docs(spark, sf_dir), "doc_id", "text").select("doc_id")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from kgpipe.operators.textops import doc_fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from kgpipe.operators.textops import token_count, whitespace_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_bpe_tokens"),
+        whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    from kgpipe.operators.textops import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from kgpipe.operators.textops import lang_id
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from kgpipe.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=2, threshold=0.2)
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Hash-seeded (xxhash64 bands) — no SQL twin; rows-only check.
+    Its verified superset q_ngram_jaccard IS oracle-checked."""
+    from kgpipe.operators.dedup import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        num_hashes=64, bands=32, shingle_k=2, jaccard_threshold=0.2,
+    )
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from kgpipe.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=16, shingle_k=2
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    from kgpipe.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb.where(F.col("vec_id") < 50), emb, k=3).select(
+        "query_id", "neighbor_id", "rank", F.round("score", 4).alias("score")
+    )
+
+
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with nprobe covering all clusters ⇒ must equal brute force
+    (same oracle SQL as q_ann_bruteforce)."""
+    from kgpipe.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=3, stride=50, nprobe=10**6).select(
+        "query_id", "neighbor_id", "rank", F.round("score", 4).alias("score")
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """Approximate path (nprobe=3) — rows-only (approximation has no
+    SQL ground truth; full-probe variant above is the oracle-gated one)."""
+    from kgpipe.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=3, stride=50, nprobe=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_extract_html(spark, sf_dir):
+    """Real HTML extractor over synthesized pages; oracle constructs
+    the expected text directly from the template."""
+    from kgpipe.operators.extract import with_extracted_text
+
+    docs = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"), F.col("text"),
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    pages = docs.select(F.col("doc_id"), html.alias("html"))
+    return with_extracted_text(pages).select("doc_id", "text")
+
+
+# --- generic operator coverage over the TPC-H-ish tables ---------------
+
+def q_lineitem_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_events_agg(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_customer_set_ops(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    return (
+        with_orders.withColumn("has_orders", F.lit(True))
+        .union(no_orders.withColumn("has_orders", F.lit(False)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mini KG pipeline over sf0.001 — construct NT carrier
+    from documents, parse with the compat parser, abbreviate via the
+    broadcast LPM trie, aggregate predicates."""
+    sf_dir = "/root/testdata/sf0.001"
+    df = q_nt_parse_abbrev(spark, sf_dir)
+    return (
+        df.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_triples"), F.countDistinct("s").alias("n_subjects"))
+        .orderBy(F.col("n_triples").desc(), F.col("p").asc())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "nt_parse": q_nt_parse,
+        "nt_parse_abbrev": q_nt_parse_abbrev,
+        "top_predicates": q_top_predicates,
+        "triples_distinct": q_triples_distinct,
+        "sameas_canonical": q_sameas_canonical,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+        "ann_ivf": q_ann_ivf,
+        "extract_html": q_extract_html,
+        "lineitem_agg": q_lineitem_agg,
+        "revenue_by_nation": q_revenue_by_nation,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "events_agg": q_events_agg,
+        "customer_set_ops": q_customer_set_ops,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ANN_ORACLE = """
+with q as (
+  select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 50
+), c as (
+  select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings
+), scored as (
+  select query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) as score6
+  from q cross join c
+  where query_id <> neighbor_id
+), ranked as (
+  select query_id, neighbor_id, score6,
+         row_number() over (partition by query_id order by score6 desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, rank, round(score6, 4) as score
+from ranked where rank <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "nt_parse": _PARSE_SQL_CTE,
+        "nt_parse_abbrev": """
+            select doc_id,
+                   'gnd:' || cast(doc_id % 50 as varchar) as s,
+                   'rdf:type' as p,
+                   'dbp:Entity' || cast(doc_id as varchar) as o
+            from documents
+        """,
+        "top_predicates": f"""
+            with parsed as ({_PARSE_SQL_CTE})
+            select p, count(*) as n from parsed
+            group by p order by n desc, p asc limit 20
+        """,
+        "triples_distinct": f"""
+            with parsed as ({_PARSE_SQL_CTE})
+            select distinct s, p, o from parsed
+        """,
+        "sameas_canonical": """
+            select 'http://ex.org/e/' || lpad(cast(doc_id as varchar), 6, '0') as uri,
+                   'http://ex.org/e/' || lpad(cast(doc_id % 100 as varchar), 6, '0') as canon_id
+            from documents
+        """,
+        "exact_dedup_docs": """
+            select doc_id from documents d
+            join (
+              select md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp,
+                     min(doc_id) as keep
+              from documents group by 1
+            ) g
+            on md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) = g.fp
+               and d.doc_id = g.keep
+        """,
+        "doc_fingerprints": """
+            select doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fingerprint
+            from documents
+        """,
+        "token_counts": """
+            select doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as n_bpe_tokens,
+                   len(regexp_split_to_array(trim(text), '\\s+')) as n_ws_tokens
+            from documents
+        """,
+        "quality_scores": """
+            with m as (
+              select doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) as n_tok,
+                     len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) as stop,
+                     len(regexp_extract_all(text, '[.,;:!?]')) as punct,
+                     greatest(length(text), 1)::DOUBLE as n_chars
+              from documents
+            )
+            select doc_id,
+                   round(
+                     0.4 * (least(stop::DOUBLE / greatest(n_tok, 1), 0.5) / 0.5)
+                   + 0.3 * greatest(0.0, 1.0 - (punct / n_chars) * 5.0)
+                   + 0.3 * (least(n_tok, 100)::DOUBLE / 100.0), 4) as quality
+            from m
+        """,
+        "lang_id": """
+            with c as (
+              select doc_id,
+                len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in)\\b')) as c_en,
+                len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) as c_de,
+                len(regexp_extract_all(lower(text), '\\b(el|la|los|de|que|es)\\b')) as c_es,
+                len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une)\\b')) as c_fr
+              from documents
+            )
+            select doc_id,
+              case when greatest(c_en, c_de, c_es, c_fr) = 0 then 'und'
+                   when c_en = greatest(c_en, c_de, c_es, c_fr) then 'en'
+                   when c_de = greatest(c_en, c_de, c_es, c_fr) then 'de'
+                   when c_es = greatest(c_en, c_de, c_es, c_fr) then 'es'
+                   else 'fr' end as lang_pred
+            from c
+        """,
+        "ngram_jaccard": """
+            with g as (
+              select distinct doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                               i -> array_to_string(w[i:i+1], ' ')))) as gram
+              from (select doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') as w
+                    from documents)
+            ), sizes as (
+              select doc_id, count(*) as n from g group by doc_id
+            ), shared as (
+              select a.doc_id as a, b.doc_id as b, count(*) as c
+              from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+              group by 1, 2
+            )
+            select s.a, s.b,
+                   round(s.c::DOUBLE / (na.n + nb.n - s.c), 4) as jaccard
+            from shared s
+            join sizes na on s.a = na.doc_id
+            join sizes nb on s.b = nb.doc_id
+            where s.c::DOUBLE / (na.n + nb.n - s.c) >= 0.2
+        """,
+        "ann_bruteforce": _ANN_ORACLE,
+        "ann_ivf_fullprobe": _ANN_ORACLE,
+        "extract_html": """
+            select doc_id, 'Doc ' || cast(doc_id as varchar) || chr(10) || trim(text) as text
+            from documents where length(trim(text)) > 0
+        """,
+        "lineitem_agg": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            select n_name, round(sum(o_totalprice), 2) as revenue, count(*) as n_orders
+            from orders join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            group by n_name order by n_name
+        """,
+        "topk_orders_per_customer": """
+            select o_custkey, o_orderkey, rk from (
+              select o_custkey, o_orderkey,
+                     row_number() over (partition by o_custkey
+                                        order by o_totalprice desc, o_orderkey asc) as rk
+              from orders
+            ) where rk <= 3
+        """,
+        "events_agg": """
+            select event_type, count(*) as n, round(sum(value), 2) as total_value,
+                   count(distinct user_id) as n_users
+            from events group by event_type order by event_type
+        """,
+        "customer_set_ops": """
+            select c_custkey, true as has_orders from customer
+            where c_custkey in (select o_custkey from orders)
+            union all
+            select c_custkey, false as has_orders from customer
+            where c_custkey not in (select o_custkey from orders)
+        """,
+    }

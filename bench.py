@@ -1,0 +1,161 @@
+"""kgpipe benchmark — headline queries + KG pipeline throughput.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+The pipeline benchmark drives the real end-to-end flow (extract →
+parse → abbreviate → link → canonicalize → materialize) over a
+seeded pages corpus whose size scales with the sf directory; query
+benchmarks run over the sf tables themselves. Input generation and
+warehouse setup are OUTSIDE the timed regions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+# pages per unit sf: sf0.1 → 12k pages ≈ 126k NT lines through the
+# full pipeline (plus prose/title quarantine traffic)
+PAGES_PER_SF = 120_000
+
+
+def bench_pipeline(spark, sf_dir: str, n_pages: int) -> dict:
+    from kgpipe.fixtures import RULES_16_TEXT, gen_pages
+    from kgpipe.pipeline import PipelineConfig, run_pipeline
+
+    gen_dir = tempfile.mkdtemp(prefix="kgbench_pages_")
+    wh = tempfile.mkdtemp(prefix="kgbench_wh_")
+    try:
+        # setup (untimed): synthesize + persist the pages corpus
+        chunk = 5000
+        pdfs = [gen_pages(min(chunk, n_pages - i)) for i in range(0, n_pages, chunk)]
+        import pandas as pd
+
+        big = pd.concat(pdfs, ignore_index=True)
+        big["url"] = [f"https://site{i % 97}.example.org/page/{i}" for i in range(len(big))]
+        spark.createDataFrame(big).write.mode("overwrite").parquet(gen_dir)
+
+        pages = spark.read.parquet(gen_dir)
+        cfg = PipelineConfig(
+            warehouse=wh, rules_text=RULES_16_TEXT, mode="compat",
+            n_parts=64, n_buckets=32,
+        )
+        t0 = time.monotonic()
+        res = run_pipeline(spark, pages, cfg)
+        n_triples = res.triples.count()
+        n_edges = res.edges.count()
+        dt = time.monotonic() - t0
+        return {"sec": dt, "n_triples": n_triples, "n_edges": n_edges,
+                "triples_per_sec": n_triples / dt}
+    finally:
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _nt_lines_from_lineitem(spark, sf_dir: str):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    line = F.concat(
+        F.lit("<http://ex.org/order/"), F.col("l_orderkey").cast("string"),
+        F.lit("/"), F.col("l_linenumber").cast("string"),
+        F.lit("> <http://schema.org/quantity> \""),
+        F.col("l_quantity").cast("string"), F.lit(" units at "),
+        F.col("l_extendedprice").cast("string"), F.lit("\" ."),
+    )
+    return li.select(line.alias("line"))
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as em
+    from kgpipe.fixtures import RULES_16_TEXT
+    from kgpipe.nt.rules import parse_rules
+    from kgpipe.operators.abbrev import abbreviate_columns
+    from kgpipe.operators.parse import parse_lines_to_triples
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # bulk parse+abbrev throughput over 600k constructed NT lines
+    lines = _nt_lines_from_lineitem(spark, sf_dir)
+    rules = parse_rules(RULES_16_TEXT)
+    run("parse_bulk", lambda: parse_lines_to_triples(lines).where(F.col("s").isNotNull()).count())
+    run(
+        "parse_abbrev_bulk",
+        lambda: abbreviate_columns(
+            parse_lines_to_triples(lines).where(F.col("s").isNotNull()),
+            ["s", "p", "o"], rules, mode="lpm",
+        ).count(),
+    )
+
+    q = em.queries()
+    for name in [
+        "nt_parse", "nt_parse_abbrev", "sameas_canonical", "exact_dedup_docs",
+        "token_counts", "quality_scores", "lang_id", "minhash_lsh_pairs",
+        "simhash_pairs", "ngram_jaccard", "ann_bruteforce", "ann_ivf",
+        "lineitem_agg", "revenue_by_nation", "topk_orders_per_customer",
+        "events_agg",
+    ]:
+        run(name, lambda name=name: q[name](spark, sf_dir).count())
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    from kgpipe.session import get_spark
+
+    spark = get_spark(
+        app_name=f"kgpipe-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    try:
+        timings = bench_queries(spark, sf_dir)
+        pipe = bench_pipeline(spark, sf_dir, n_pages=max(int(PAGES_PER_SF * sf), 2000))
+        timings["kg_pipeline"] = round(pipe["sec"], 3)
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "kgpipe headline suite wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+            "pipeline_triples": pipe["n_triples"],
+            "pipeline_edges": pipe["n_edges"],
+            "triples_per_sec": round(pipe["triples_per_sec"], 1),
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Document deduplication family for training-data pipelines:
+
+  exact            — md5 fingerprint groupBy (one shuffle, map-side
+                     combine on min-id representative)
+  minhash + LSH    — word-shingle minhash (codegen'd fold, no UDF),
+                     banded bucket join, exact-Jaccard verification
+  simhash          — 64-bit simhash via a per-row fold; near-dup by
+                     banded hamming blocking
+  n-gram Jaccard   — exact pairwise Jaccard via shared-gram counting
+                     (the verification primitive; also usable alone
+                     at small scale / as an oracle)
+
+Scale notes: every operator's only shuffles are groupBys on
+content-derived keys. Pair generation is bounded by bucket caps (LSH)
+/ band blocking (simhash); nothing materializes the O(n²) pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kgpipe.operators.link import minhash_signature
+from kgpipe.operators.textops import doc_fingerprint
+
+
+# --- exact -----------------------------------------------------------
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, keep_id, fingerprint) for every duplicated row; keep_id
+    is the min id of the identical-content group."""
+    fp = df.select(F.col(id_col).alias("id"), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        fp.join(groups.where(F.col("n") > 1), "fingerprint")
+        .select("id", "keep_id", "fingerprint")
+    )
+
+
+def distinct_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized content (the min id) —
+    the dedup 'apply' step."""
+    fp = df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- shingles ---------------------------------------------------------
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams of lower(text), JVM-side."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+    return F.array_distinct(grams)
+
+
+# --- minhash LSH -------------------------------------------------------
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 128,
+) -> DataFrame:
+    """→ (a, b, jaccard) near-duplicate pairs, a < b, verified by
+    exact shingle Jaccard ≥ threshold."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = word_shingles(F.col(text_col), shingle_k)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sig = minhash_signature(F.col("sh"), num_hashes)
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.xxhash64(F.slice(sig, j * r + 1, r)).alias("bh"),
+                )
+                for j in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    ids = F.array_sort(F.array_distinct(F.col("ids")))
+    cand = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            ids,
+                            lambda a: F.transform(
+                                ids, lambda b: F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        )
+                    ),
+                    lambda st: st["a"] < st["b"],
+                )
+            ).alias("pr")
+        )
+        .select("pr.a", "pr.b")
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .select("a", "b", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# --- simhash ------------------------------------------------------------
+# bit masks as literals: shiftleft/shiftright take only int shift
+# amounts, so per-bit work uses a constant mask array instead (bit 63
+# is the sign bit of a signed long)
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit simhash of word k-grams as a codegen'd fold: accumulate
+    per-bit counters (±1 per gram bit), then pack the sign vector
+    into a long by xor-ing the masks of non-negative counters."""
+    grams = word_shingles(text, shingle_k)
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
+
+    def signs(g: Column) -> Column:
+        h = F.xxhash64(g)
+        return F.array(*[
+            F.when(h.bitwiseAND(F.lit(m).cast("long")) != 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+            for m in _BIT_MASKS
+        ])
+
+    counters = F.aggregate(grams, init, lambda acc, g: F.zip_with(acc, signs(g), lambda a, b: a + b))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    packed = F.zip_with(
+        counters, masks, lambda c, m: F.when(c >= 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """→ (a, b, hamming) pairs with hamming(simhash) ≤ max_hamming.
+    Blocking: split the 64-bit hash into 4 16-bit bands — any pair
+    within hamming ≤ 3 shares at least one exact band (pigeonhole)."""
+    base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("h"))
+    banded = base.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("h"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                )
+                for j in range(4)
+            ])
+        ).alias("e"),
+    ).select("id", "h", "e.band", "e.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("id", "h")).alias("xs"))
+        .where((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+    )
+    xs = F.array_sort(F.array_distinct(F.col("xs")))
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            xs,
+                            lambda a: F.transform(
+                                xs, lambda b: F.struct(a.alias("x"), b.alias("y"))
+                            ),
+                        )
+                    ),
+                    lambda st: st["x"]["id"] < st["y"]["id"],
+                )
+            ).alias("pr")
+        )
+        .select(
+            F.col("pr.x.id").alias("a"),
+            F.col("pr.y.id").alias("b"),
+            F.bit_count(F.col("pr.x.h").bitwiseXOR(F.col("pr.y.h"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# --- exact n-gram Jaccard (brute via shared-gram counting) ---------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (a, b, jaccard) for all pairs sharing ≥1 gram with
+    J ≥ threshold. Explode grams → self-join on gram → count shared →
+    J = c/(|A|+|B|-c). The join is on the gram key, so cost is
+    Σ bucket² over gram frequencies — fine when shingles are
+    discriminative; this is the exact/oracle path, LSH is the scale
+    path."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    ).distinct()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("id").alias("a"), "g")
+    gb = grams.select(F.col("id").alias("b"), "g")
+    shared = (
+        ga.join(gb, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "a").join(nb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

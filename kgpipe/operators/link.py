@@ -53,11 +53,22 @@ def char_shingles(col: Column, k: int = 4) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
     """array<long> minhash signature as a codegen'd fold — no explode,
-    no shuffle, no UDF."""
+    no shuffle, no UDF.
+
+    Hash family by double hashing (Kirsch-Mitzenmahl): h_i(x) =
+    h1(x) + (2i+1)·h2(x), wraparound. Two xxhash64 evaluations per
+    shingle instead of num_hashes — inlining num_hashes independent
+    hash calls into the fold made the generated code large enough to
+    take tens of seconds to JIT."""
     init = F.array_repeat(F.lit(LONG_MAX), num_hashes)
 
     def merge(acc: Column, x: Column) -> Column:
-        hashes = F.array(*[F.xxhash64(x, F.lit(seed + i)) for i in range(num_hashes)])
+        h1 = F.xxhash64(x, F.lit(seed))
+        h2 = F.xxhash64(x, F.lit(seed + 1))
+        hashes = F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: h1 + (i * 2 + 1) * h2,
+        )
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     return F.aggregate(shingles, init, merge)

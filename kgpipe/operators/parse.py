@@ -48,6 +48,26 @@ def parse_pages_to_triples(pages_df, text_col: str = "text", url_col: str = "url
     return src.mapInPandas(_parse, schema=TRIPLES_SCHEMA)
 
 
+def parse_text_column(df, line_col: str, keep_cols: list[str]):
+    """Parse one NT line per row from `line_col`, carrying through
+    `keep_cols` unchanged. → keep_cols + (s, p, o, error)."""
+    kept = df.select(*keep_cols, line_col)
+    kept_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in kept.schema.fields if f.name != line_col
+    )
+    out_schema = kept_schema + ", s string, p string, o string, error string"
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = parse_nt_frame(pdf[line_col])
+            out = pdf[keep_cols].reset_index(drop=True)
+            for c in ("s", "p", "o", "error"):
+                out[c] = parsed[c].reset_index(drop=True)
+            yield out
+
+    return kept.mapInPandas(_parse, schema=out_schema)
+
+
 def parse_lines_to_triples(lines_df, line_col: str = "line"):
     """One-line-per-row variant (the reference's native input shape:
     an NT file read as lines). lines(line) → (s, p, o, error)."""

@@ -1,0 +1,87 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Every function here is a pure column expression built from JVM-side
+`pyspark.sql.functions` — whole-stage codegen, no UDFs, no shuffle.
+Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql so the
+driver's DuckDB gate verifies values, not just shapes. The semantics
+are deliberately regex/arithmetic-only (no model weights) so they
+are reproducible everywhere.
+
+These generalize the reference's only text handling (whitespace
+tokenization, common.go:42-43) to corpus-curation operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# marker stopwords per language, whole-word matched on lower(text);
+# tie-break order is the CASE order in lang_id (en, de, es, fr)
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|la|los|de|que|es)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+}
+
+STOPWORD_REGEX = r"\b(the|and|of|to|a|in|is|it|that|for)\b"
+PUNCT_REGEX = r"[.,;:!?]"
+
+
+def token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens (long)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Reference-style whitespace tokens (strings.Fields semantics)."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1], rounded to 4dp:
+       0.4 * stopword_ratio(cap 0.5)/0.5
+     + 0.3 * (1 - punct_ratio*5 capped to [0,1])
+     + 0.3 * min(n_ws_tokens, 100)/100
+    Pure arithmetic over regex counts — identical in Spark and DuckDB.
+    """
+    n_tok = whitespace_token_count(text)
+    stop = _count_matches(F.lower(text), STOPWORD_REGEX)
+    punct = _count_matches(text, PUNCT_REGEX)
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+    stop_ratio = F.least(stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), F.lit(0.5)) / 0.5
+    punct_pen = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (punct.cast("double") / n_chars) * 5.0
+    )
+    len_part = F.least(n_tok, F.lit(100)).cast("double") / 100.0
+    return F.round(0.4 * stop_ratio + 0.3 * punct_pen + 0.3 * len_part, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID over {en,de,es,fr}; 'und' when no
+    markers hit. Ties resolved by fixed CASE order en,de,es,fr."""
+    lower = F.lower(text)
+    c = {k: _count_matches(lower, v) for k, v in LANG_MARKERS.items()}
+    mx = F.greatest(*c.values())
+    return (
+        F.when(mx == 0, F.lit("und"))
+        .when(c["en"] == mx, F.lit("en"))
+        .when(c["de"] == mx, F.lit("de"))
+        .when(c["es"] == mx, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Exact-dedup key."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from kgpipe.checkpoints import CheckpointLog, partition_fingerprints, with_part_id
 from kgpipe.io import TableIO
@@ -39,8 +39,8 @@ from kgpipe.operators.materialize import canonicalize_triples, edges_with_bucket
 from kgpipe.operators.parse import parse_pages_to_triples
 
 
-TRIPLES_DDL = "s string, p string, o string, url string, part_id int"
-QUARANTINE_DDL = "url string, error string, part_id int"
+RAW_DDL = "s string, p string, o string, url string, error string, part_id int"
+TRIPLES_DDL = RAW_DDL  # clean rows = error IS NULL
 CMAP_DDL = "uri string, canon_id string"
 EDGES_DDL = "canon_s string, p string, canon_o string, part_id int"
 
@@ -76,7 +76,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
     rules = parse_rules(cfg.rules_text)
 
     _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
-    triples = io.read("triples", TRIPLES_DDL)
+    triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
 
     _stage_link_canonicalize(spark, triples, cfg, io, log)
     cmap = io.read("canonical_map", CMAP_DDL)
@@ -106,42 +106,49 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
     todo = log.pending_partitions(stage, src, "url")
 
     # nothing pending → stage already complete for this input
-    if todo.limit(1).count() == 0 and io.exists("triples"):
+    if todo.limit(1).count() == 0 and io.exists("triples_raw"):
         return
 
     extracted = with_extracted_text(todo)
     parsed = parse_pages_to_triples(extracted).withColumn(
         "part_id", F.pmod(F.xxhash64("url"), F.lit(cfg.n_parts)).cast("int")
     )
-    good = abbreviate_columns(
-        parsed.where(F.col("s").isNotNull()), ["s", "p", "o"], rules, mode=cfg.mode
-    ).select("s", "p", "o", "url", "part_id")
-    bad = parsed.where(F.col("s").isNull()).select("url", "error", "part_id")
+    # abbreviate in place; error rows pass through with NULL terms.
+    # ONE table, ONE pass: splitting good/bad into two writes would
+    # run the whole extract+parse UDF chain twice.
+    rows = abbreviate_columns(parsed, ["s", "p", "o"], rules, mode=cfg.mode).select(
+        "s", "p", "o", "url", "error", "part_id"
+    )
 
     # dynamic partition overwrite (set in kgpipe.session): only the
     # part_ids present in `todo` are replaced — completed partitions'
     # files are untouched, and a re-derived partition replaces any
     # partial output a crashed attempt left behind
-    io.write(good, "triples", mode="overwrite", partition_by=["part_id"])
-    io.write(bad, "quarantine", mode="overwrite", partition_by=["part_id"])
+    # cluster by part_id before the partitioned write: otherwise every
+    # task holds an open parquet writer per partition value (n_parts
+    # writers x tasks buffering row groups — GC churn and tiny files)
+    rows = rows.repartition(cfg.n_parts, "part_id")
+    io.write(rows, "triples_raw", mode="overwrite", partition_by=["part_id"])
 
-    # stats AFTER the writes succeeded: crash before this point leaves
-    # the partitions unlogged → recomputed on resume (idempotent
-    # because outputs are re-derived per partition deterministically;
-    # a half-written parquet dir has no _SUCCESS and is overwritten)
+    # stats AFTER the write succeeded: crash before this point leaves
+    # the partitions unlogged → recomputed on resume. Counts come from
+    # a column-pruned scan of the freshly written parquet (cheap; the
+    # alternative recomputes the UDF chain).
     fps = partition_fingerprints(todo, "url")
-    out_counts = io.read("triples", TRIPLES_DDL).groupBy("part_id").agg(F.count(F.lit(1)).alias("n_out"))
-    err_counts = io.read("quarantine", QUARANTINE_DDL).groupBy("part_id").agg(F.count(F.lit(1)).alias("n_err"))
-    stats = (
-        fps.join(out_counts, "part_id", "left")
-        .join(err_counts, "part_id", "left")
-        .select(
-            "part_id",
-            "fingerprint",
-            "n_in",
-            F.coalesce("n_out", F.lit(0)).alias("n_out"),
-            F.coalesce("n_err", F.lit(0)).alias("n_err"),
+    counts = (
+        io.read("triples_raw", RAW_DDL)
+        .groupBy("part_id")
+        .agg(
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_out"),
+            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("n_err"),
         )
+    )
+    stats = fps.join(counts, "part_id", "left").select(
+        "part_id",
+        "fingerprint",
+        "n_in",
+        F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        F.coalesce("n_err", F.lit(0)).alias("n_err"),
     )
     log.mark_done(stage, stats)
 
@@ -180,8 +187,10 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
         edges.select(F.col("dst").alias("uri"))
     )
     cmap = canonical_map_for_nodes(nodes, edges, max_iter=cfg.cc_max_iter)
+    obs = Observation()
+    cmap = cmap.observe(obs, F.count(F.lit(1)).alias("n"))
     io.write(cmap, "canonical_map", mode="overwrite")
-    n_out = io.read("canonical_map", CMAP_DDL).count()
+    n_out = obs.get["n"]  # measured during the write job — no re-read
     stats = spark.createDataFrame(
         [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
@@ -202,8 +211,11 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
     edges = edges_with_buckets(
         canonicalize_triples(triples, cmap, broadcast_map=True), cfg.n_buckets
     )
+    obs = Observation()
+    edges = edges.observe(obs, F.count(F.lit(1)).alias("n"))
+    edges = edges.repartition(cfg.n_buckets, "part_id")
     io.write(edges, "edges", mode="overwrite", partition_by=["part_id"])
-    n_out = io.read("edges", EDGES_DDL).count()
+    n_out = obs.get["n"]
     stats = spark.createDataFrame(
         [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",

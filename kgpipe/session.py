@@ -52,6 +52,10 @@ def get_spark(
         # resume semantics: rewriting a checkpoint partition replaces
         # exactly that partition's files, leaving completed ones intact
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # hash pipelines (minhash double-hashing, fingerprint sums)
+        # rely on two's-complement wraparound; ANSI overflow errors
+        # would reject them
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.ui.enabled", "false")

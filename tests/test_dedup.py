@@ -1,0 +1,75 @@
+"""Dedup family: exact, minhash-LSH, simhash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.operators.dedup import (
+    distinct_documents,
+    exact_duplicates,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 10 unique docs
+    for i in range(10):
+        rows.append((i, f"document number {i} " + BASE + f" unique suffix {i} " * 3))
+    # exact dups of doc 0 and 1 (differing only in case/whitespace)
+    rows.append((100, rows[0][1].upper()))
+    rows.append((101, "  " + rows[1][1].replace(" ", "  ") + "  "))
+    # near-dup of doc 2: one word changed
+    rows.append((102, rows[2][1].replace("windowsill", "floor")))
+    # unrelated doc
+    rows.append((103, "completely different content about spark engines and parquet files " * 4))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, corpus):
+    dups = exact_duplicates(corpus, "doc_id", "text")
+    got = {(r.id, r.keep_id) for r in dups.collect()}
+    assert got == {(0, 0), (100, 0), (1, 1), (101, 1)}
+
+
+def test_distinct_documents(spark, corpus):
+    kept = {r.doc_id for r in distinct_documents(corpus, "doc_id", "text").collect()}
+    assert 100 not in kept and 101 not in kept
+    assert {0, 1, 2, 102, 103} <= kept
+
+
+def test_minhash_finds_neardup(spark, corpus):
+    pairs = {(r.a, r.b) for r in minhash_dup_pairs(corpus, "doc_id", "text", jaccard_threshold=0.7).collect()}
+    assert (2, 102) in pairs
+    assert not any(103 in p for p in pairs), "unrelated doc matched"
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, corpus):
+    """LSH+verify must return exactly the exact-Jaccard pairs at the
+    same threshold when bands are generous (recall ≈ 1 here)."""
+    got = {(r.a, r.b) for r in minhash_dup_pairs(
+        corpus, "doc_id", "text", num_hashes=128, bands=64, jaccard_threshold=0.7
+    ).collect()}
+    exp = {(r.a, r.b) for r in ngram_jaccard_pairs(
+        corpus, "doc_id", "text", k=3, threshold=0.7
+    ).collect()}
+    assert got == exp
+
+
+def test_simhash_near_pairs(spark, corpus):
+    pairs = {(r.a, r.b) for r in simhash_near_pairs(corpus, "doc_id", "text", max_hamming=10).collect()}
+    assert (2, 102) in pairs
+    assert not any(103 in p for p in pairs)
+
+
+def test_ngram_jaccard_threshold(spark, corpus):
+    rows = ngram_jaccard_pairs(corpus, "doc_id", "text", k=3, threshold=0.9).collect()
+    for r in rows:
+        assert r.jaccard >= 0.9

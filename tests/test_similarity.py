@@ -1,0 +1,63 @@
+"""Similarity search over the driver-provided embeddings table:
+brute-force exactness vs a numpy oracle; IVF recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.operators.similarity import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    vecs = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, vecs
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb, emb_np):
+    ids, vecs = emb_np
+    queries = emb.where(F.col("vec_id") < 20)
+    got = {}
+    for r in cosine_topk(queries, emb, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for qi in range(20):
+        row = sims[qi].copy()
+        row[qi] = -np.inf
+        # top-3, tie-break by id asc (stable argsort over (-score, id))
+        order = sorted(range(len(ids)), key=lambda j: (-round(row[j], 6), ids[j]))[:3]
+        exp = [(rk + 1, int(ids[j])) for rk, j in enumerate(order)]
+        assert sorted(got[qi]) == exp, f"query {qi}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, emb):
+    """nprobe = all clusters ⇒ IVF must reproduce brute force exactly
+    (validates assignment + candidate-join machinery end to end)."""
+    queries = emb.where(F.col("vec_id") < 30)
+    exact = {(r.query_id, r.rank): r.neighbor_id for r in cosine_topk(queries, emb, k=3).collect()}
+    full = {(r.query_id, r.rank): r.neighbor_id for r in ivf_topk(queries, emb, k=3, stride=50, nprobe=1000).collect()}
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """Partial probe: recall must beat the searched corpus fraction
+    (these embeddings are near-random, so the meaningful bound is
+    'better than chance', not a clustered-data recall)."""
+    queries = emb.where(F.col("vec_id") < 50)
+    exact_nn = {r.query_id: r.neighbor_id for r in cosine_topk(queries, emb, k=1).collect()}
+    approx = ivf_topk(queries, emb, k=1, stride=50, nprobe=3)
+    approx_nn = {r.query_id: r.neighbor_id for r in approx.collect()}
+    hits = sum(1 for q in exact_nn if approx_nn.get(q) == exact_nn[q])
+    recall = hits / len(exact_nn)
+    assert recall >= 0.3, f"IVF top-1 recall {recall} below searched fraction"
+    assert set(approx_nn) == set(exact_nn)

@@ -1,0 +1,76 @@
+"""Text-analysis operators over the driver-provided documents table,
+cross-checked against DuckDB running the oracle SQL — the same
+comparison the driver's correctness gate performs."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.operators.textops import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    whitespace_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_matches_duckdb(spark, docs, sf_dir):
+    got = {
+        r.doc_id: r.n_tok
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n_tok")).collect()
+    }
+    exp = dict(
+        duckdb.sql(
+            f"""select doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            from read_parquet('{sf_dir}/documents.parquet')"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_fingerprint_matches_duckdb(spark, docs, sf_dir):
+    got = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    exp = dict(
+        duckdb.sql(
+            f"""select doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            from read_parquet('{sf_dir}/documents.parquet')"""
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_quality_score_range_and_determinism(spark, docs):
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    rows2 = docs.repartition(5).select(quality_score(F.col("text")).alias("q")).collect()
+    assert sorted(r.q for r in rows) == sorted(r.q for r in rows2)
+
+
+def test_lang_id_basic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("der hund und die katze ist nicht da",),
+            ("el perro y la casa de los gatos es",),
+            ("le chien et la maison est une belle",),
+            ("xyzzy plugh 12345",),
+        ],
+        ["text"],
+    )
+    got = [r.l for r in df.select(lang_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "es", "fr", "und"]
+
+
+def test_whitespace_token_count(spark):
+    df = spark.createDataFrame([("a  b\tc",), ("one",)], ["text"])
+    got = [r.n for r in df.select(whitespace_token_count(F.col("text")).alias("n")).collect()]
+    assert got == [3, 1]
