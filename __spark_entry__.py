@@ -183,9 +183,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     Its verified superset q_ngram_jaccard IS oracle-checked."""
     from kgpipe.operators.dedup import minhash_dup_pairs
 
+    # r=4 rows/band targets the J≥0.8 regime (P(match|J=0.8)≈0.9998,
+    # P(match|J=0.3)≈0.12) — wide bands at low thresholds flood the
+    # candidate stage with O(n²) pairs
     pairs = minhash_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        num_hashes=64, bands=32, shingle_k=2, jaccard_threshold=0.2,
+        num_hashes=64, bands=16, shingle_k=2, jaccard_threshold=0.8,
     )
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 

@@ -100,8 +100,11 @@ def bench_queries(spark, sf_dir: str) -> dict:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # bulk parse+abbrev throughput over 600k constructed NT lines
+    # bulk parse+abbrev throughput over constructed NT lines — the
+    # apples-to-apples comparison with the reference's `-a -j` mode
+    # (BASELINE.md: 120-158k triples/s)
     lines = _nt_lines_from_lineitem(spark, sf_dir)
+    n_lines = lines.count()
     rules = parse_rules(RULES_16_TEXT)
     run("parse_bulk", lambda: parse_lines_to_triples(lines).where(F.col("s").isNotNull()).count())
     run(
@@ -111,12 +114,13 @@ def bench_queries(spark, sf_dir: str) -> dict:
             ["s", "p", "o"], rules, mode="lpm",
         ).count(),
     )
+    timings["__n_bulk_lines"] = n_lines
 
     q = em.queries()
     for name in [
         "nt_parse", "nt_parse_abbrev", "sameas_canonical", "exact_dedup_docs",
         "token_counts", "quality_scores", "lang_id", "minhash_lsh_pairs",
-        "simhash_pairs", "ngram_jaccard", "ann_bruteforce", "ann_ivf",
+        "simhash_pairs", "ann_bruteforce", "ann_ivf",
         "lineitem_agg", "revenue_by_nation", "topk_orders_per_customer",
         "events_agg",
     ]:
@@ -138,6 +142,7 @@ def main() -> None:
     )
     try:
         timings = bench_queries(spark, sf_dir)
+        n_bulk = int(timings.pop("__n_bulk_lines"))
         pipe = bench_pipeline(spark, sf_dir, n_pages=max(int(PAGES_PER_SF * sf), 2000))
         timings["kg_pipeline"] = round(pipe["sec"], 3)
         total = round(sum(timings.values()), 3)
@@ -151,6 +156,7 @@ def main() -> None:
             "pipeline_triples": pipe["n_triples"],
             "pipeline_edges": pipe["n_edges"],
             "triples_per_sec": round(pipe["triples_per_sec"], 1),
+            "parse_abbrev_lines_per_sec": round(n_bulk / timings["parse_abbrev_bulk"], 1),
         }
         print(json.dumps(out))
     finally:

@@ -42,12 +42,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("mn"))
         .select("src", F.least("src", "mn").alias("m"))
     )
+    # no distinct here: duplicates are bounded (≤2 copies per edge)
+    # and the small-star that always follows ends in a distinct —
+    # saves one full shuffle per round
     return (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 

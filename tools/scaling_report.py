@@ -1,0 +1,95 @@
+"""Two-cluster-size scaling evidence (BASELINE.md sandbox protocol).
+
+Runs bench.py as a subprocess at N=local[8] and 4N=local[32] on the
+same input, repeats each level, takes the best run per level (the
+host is shared — wall-clock noise is real and documented), and
+writes BENCH/BASELINE.md with throughput at both levels and
+efficiency = T32 / (4 * T8).
+
+Usage: python tools/scaling_report.py [--sf-dir DIR] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(args.repeats):
+        for cpus in (lo, hi):
+            r = run_bench(args.sf_dir, cpus)
+            results[cpus].append(r)
+            print(f"[rep {rep}] local[{cpus}]: pipeline {r['queries']['kg_pipeline']}s, "
+                  f"{r['triples_per_sec']} triples/s, suite {r['value']}s", flush=True)
+
+    best = {c: max(rs, key=lambda r: r["triples_per_sec"]) for c, rs in results.items()}
+    tp_lo, tp_hi = best[lo]["triples_per_sec"], best[hi]["triples_per_sec"]
+    eff = tp_hi / ((hi / lo) * tp_lo)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write(f"""# kgpipe scaling evidence — sandbox two-cluster-size protocol
+
+Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
+`python tools/scaling_report.py --sf-dir {args.sf_dir} --repeats {args.repeats}`.
+Same job, same input (seed 42), two parallelism levels on one host
+(BASELINE.md sandbox protocol: local[{lo}] stands in for N executors,
+local[{hi}] for {hi//lo}N). Best of {args.repeats} runs per level — the host
+is shared and wall-clock noise between runs is significant; per-run
+numbers below.
+
+## End-to-end KG pipeline (extract → parse → abbrev → link → canonicalize → materialize)
+
+| level | pipeline sec | triples | triples/sec | suite sec |
+|---|---|---|---|---|
+| local[{lo}] (N) | {best[lo]['queries']['kg_pipeline']} | {best[lo]['pipeline_triples']} | {tp_lo} | {best[lo]['value']} |
+| local[{hi}] ({hi//lo}N) | {best[hi]['queries']['kg_pipeline']} | {best[hi]['pipeline_triples']} | {tp_hi} | {best[hi]['value']} |
+
+**Scaling efficiency (throughput({hi}) / ({hi//lo} × throughput({lo}))) = {eff:.3f}**
+(target ≥ 0.8 would mean near-linear scaling; on one shared box the
+upper levels also contend with the co-tenant load and the fixed
+per-job scheduling latency that does not parallelize).
+
+## Per-query wall seconds (best run per level)
+
+| query | local[{lo}] | local[{hi}] |
+|---|---|---|
+""")
+        for q in best[lo]["queries"]:
+            f.write(f"| {q} | {best[lo]['queries'][q]} | {best[hi]['queries'].get(q, '—')} |\n")
+        f.write("\n## All runs (JSON)\n\n```\n")
+        for c in (lo, hi):
+            for r in results[c]:
+                f.write(json.dumps(r) + "\n")
+        f.write("```\n")
+    print(f"wrote {path}; efficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()
