@@ -36,9 +36,12 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-# pages per unit sf: sf0.1 → 12k pages ≈ 126k NT lines through the
-# full pipeline (plus prose/title quarantine traffic)
-PAGES_PER_SF = 120_000
+# pages per unit sf: sf0.1 → 40k pages ≈ 420k NT lines through the
+# full pipeline (plus prose/title quarantine traffic). Sized so the
+# measured region is compute-dominated, not job-latency-dominated —
+# a corpus that one core can chew through in seconds cannot show
+# scaling.
+PAGES_PER_SF = 400_000
 
 
 def bench_pipeline(spark, sf_dir: str, n_pages: int) -> dict:

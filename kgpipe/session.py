@@ -58,6 +58,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # guarantee at least one input split per core: a compact
+        # parquet table under maxPartitionBytes otherwise becomes ONE
+        # task and the whole narrow UDF chain runs sequentially no
+        # matter how many executors exist
+        .config("spark.sql.files.minPartitionNum", str(max(cores, shuffle_partitions)))
+        # default 4MB open-cost stops small-but-CPU-heavy tables (e.g.
+        # compressed html) from splitting to full parallelism
+        .config("spark.sql.files.openCostInBytes", str(1 << 20))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

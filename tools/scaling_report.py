@@ -16,9 +16,22 @@ import json
 import os
 import subprocess
 import sys
+import time
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 600) -> float:
+    """The host is shared; a co-tenant burst during one level's run
+    fabricates anti-scaling. Gate each run on 1-min loadavg."""
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load < max_load:
+            return load
+        time.sleep(15)
+    return os.getloadavg()[0]
 
 
 def run_bench(sf_dir: str, cpus: int) -> dict:
@@ -34,17 +47,22 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
     args = ap.parse_args()
 
     lo, hi = (int(x) for x in args.levels.split(","))
     results: dict[int, list[dict]] = {lo: [], hi: []}
     for rep in range(args.repeats):
-        for cpus in (lo, hi):
+        # alternate order per rep to de-bias slow drifts in host load
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        for cpus in order:
+            load = wait_for_quiet()
             r = run_bench(args.sf_dir, cpus)
+            r["load_at_start"] = round(load, 2)
             results[cpus].append(r)
-            print(f"[rep {rep}] local[{cpus}]: pipeline {r['queries']['kg_pipeline']}s, "
+            print(f"[rep {rep}] local[{cpus}] (load {load:.1f}): "
+                  f"pipeline {r['queries']['kg_pipeline']}s, "
                   f"{r['triples_per_sec']} triples/s, suite {r['value']}s", flush=True)
 
     best = {c: max(rs, key=lambda r: r["triples_per_sec"]) for c, rs in results.items()}
@@ -60,9 +78,10 @@ Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
 `python tools/scaling_report.py --sf-dir {args.sf_dir} --repeats {args.repeats}`.
 Same job, same input (seed 42), two parallelism levels on one host
 (BASELINE.md sandbox protocol: local[{lo}] stands in for N executors,
-local[{hi}] for {hi//lo}N). Best of {args.repeats} runs per level — the host
-is shared and wall-clock noise between runs is significant; per-run
-numbers below.
+local[{hi}] for {hi//lo}N). Best of {args.repeats} runs per level; each run is gated on
+1-min loadavg < 3 and levels alternate order per repeat — the host is
+shared and co-tenant bursts otherwise fabricate anti-scaling (per-run
+numbers incl. start load below).
 
 ## End-to-end KG pipeline (extract → parse → abbrev → link → canonicalize → materialize)
 
