@@ -304,6 +304,51 @@ def q_events_agg(spark, sf_dir):
     )
 
 
+def q_asof_click_view(spark, sf_dir):
+    """As-of join: each click event gets the latest earlier-or-equal
+    view event's value per user (window carry-forward impl)."""
+    from kgpipe.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("view_value"))
+    )
+    return asof_join(left, right, on="ts", by="user_id").select(
+        "user_id", "event_id", "view_value"
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    from kgpipe.operators.temporal import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id")
+    return sessionize(e, gap_minutes=30, tiebreak_col="event_id").select(
+        "user_id", "event_id", "session_seq"
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_pivot_order_status(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    statuses = ["O", "F", "P"]
+    aggs = [
+        F.round(F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(F.lit(0.0))), 2).alias(f"rev_{s}")
+        for s in statuses
+    ]
+    return o.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
+
+
 def q_customer_set_ops(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -356,6 +401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_agg": q_events_agg,
         "customer_set_ops": q_customer_set_ops,
+        "asof_click_view": q_asof_click_view,
+        "sessionize_events": q_sessionize_events,
+        "rollup_orders": q_rollup_orders,
+        "pivot_order_status": q_pivot_order_status,
     }
 
 
@@ -522,5 +571,45 @@ def oracle_sql() -> dict[str, str]:
             union all
             select c_custkey, false as has_orders from customer
             where c_custkey not in (select o_custkey from orders)
+        """,
+        "asof_click_view": """
+            with l as (
+              select user_id, ts, event_id from events where event_type = 'click'
+            ), r as (
+              select user_id, ts, round(max(value), 4) as view_value
+              from events where event_type = 'view' group by user_id, ts
+            )
+            select l.user_id, l.event_id, r.view_value
+            from l asof left join r
+              on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "sessionize_events": """
+            with x as (
+              select user_id, ts, event_id,
+                     lag(ts) over (partition by user_id order by ts, event_id) as prev
+              from events
+            ), flags as (
+              select user_id, ts, event_id,
+                     case when prev is null or epoch(ts) - epoch(prev) > 1800
+                          then 1 else 0 end as is_new
+              from x
+            )
+            select user_id, event_id,
+                   sum(is_new) over (partition by user_id order by ts, event_id
+                                     rows between unbounded preceding and current row) as session_seq
+            from flags
+        """,
+        "rollup_orders": """
+            select o_orderpriority, o_orderstatus,
+                   round(sum(o_totalprice), 2) as revenue, count(*) as n
+            from orders
+            group by rollup (o_orderpriority, o_orderstatus)
+        """,
+        "pivot_order_status": """
+            select o_orderpriority,
+                   round(sum(case when o_orderstatus = 'O' then o_totalprice else 0 end), 2) as rev_O,
+                   round(sum(case when o_orderstatus = 'F' then o_totalprice else 0 end), 2) as rev_F,
+                   round(sum(case when o_orderstatus = 'P' then o_totalprice else 0 end), 2) as rev_P
+            from orders group by o_orderpriority order by o_orderpriority
         """,
     }

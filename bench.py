@@ -146,7 +146,10 @@ def main() -> None:
     try:
         timings = bench_queries(spark, sf_dir)
         n_bulk = int(timings.pop("__n_bulk_lines"))
-        pipe = bench_pipeline(spark, sf_dir, n_pages=max(int(PAGES_PER_SF * sf), 2000))
+        n_pages = int(
+            os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(int(PAGES_PER_SF * sf), 2000))
+        )
+        pipe = bench_pipeline(spark, sf_dir, n_pages=n_pages)
         timings["kg_pipeline"] = round(pipe["sec"], 3)
         total = round(sum(timings.values()), 3)
         out = {

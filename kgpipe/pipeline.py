@@ -30,6 +30,7 @@ from kgpipe.nt.rules import Rule, parse_rules
 from kgpipe.operators.abbrev import abbreviate_columns
 from kgpipe.operators.cc import canonical_map_for_nodes
 from kgpipe.operators.extract import with_extracted_text
+from kgpipe.operators.fused import fused_extract_parse_abbrev
 from kgpipe.operators.link import (
     exact_normalized_edges,
     sameas_edges_from_triples,
@@ -103,52 +104,64 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
     one pass, checkpointed per url-hash partition."""
     stage = "extract_parse_abbrev"
     src = with_part_id(pages.select("url", "html"), "url", cfg.n_parts)
-    todo = log.pending_partitions(stage, src, "url")
 
-    # nothing pending → stage already complete for this input
-    if todo.limit(1).count() == 0 and io.exists("triples_raw"):
+    # ONE fingerprint job; the partition ledger is n_parts rows, so
+    # resume set-logic happens driver-side — no broadcast join, no
+    # second fingerprint pass for the checkpoint stats
+    fps_rows = partition_fingerprints(src, "url").collect()
+    completed = {
+        (r["part_id"], r["fingerprint"]) for r in log.completed(stage).collect()
+    }
+    pending = sorted(
+        r["part_id"] for r in fps_rows
+        if (r["part_id"], r["fingerprint"]) not in completed
+    )
+    if not pending and io.exists("triples_raw"):
         return
+    todo = src.where(F.col("part_id").isin(pending))
 
-    extracted = with_extracted_text(todo)
-    parsed = parse_pages_to_triples(extracted).withColumn(
-        "part_id", F.pmod(F.xxhash64("url"), F.lit(cfg.n_parts)).cast("int")
-    )
-    # abbreviate in place; error rows pass through with NULL terms.
-    # ONE table, ONE pass: splitting good/bad into two writes would
-    # run the whole extract+parse UDF chain twice.
-    rows = abbreviate_columns(parsed, ["s", "p", "o"], rules, mode=cfg.mode).select(
-        "s", "p", "o", "url", "error", "part_id"
-    )
+    # fused single-Python-stage operator: one worker per task, one
+    # Arrow crossing (operators/fused.py; the chained composable form
+    # lives in extract.py/parse.py/abbrev.py and is equivalence-tested)
+    rows = fused_extract_parse_abbrev(todo, rules, mode=cfg.mode)
 
     # dynamic partition overwrite (set in kgpipe.session): only the
     # part_ids present in `todo` are replaced — completed partitions'
     # files are untouched, and a re-derived partition replaces any
-    # partial output a crashed attempt left behind
-    # cluster by part_id before the partitioned write: otherwise every
-    # task holds an open parquet writer per partition value (n_parts
-    # writers x tasks buffering row groups — GC churn and tiny files)
-    rows = rows.repartition(cfg.n_parts, "part_id")
+    # partial output a crashed attempt left behind. Clustering by
+    # part_id bounds open parquet writers to one per task.
+    rows = rows.repartition(min(cfg.n_parts, len(pending)), "part_id")
     io.write(rows, "triples_raw", mode="overwrite", partition_by=["part_id"])
 
     # stats AFTER the write succeeded: crash before this point leaves
     # the partitions unlogged → recomputed on resume. Counts come from
     # a column-pruned scan of the freshly written parquet (cheap; the
     # alternative recomputes the UDF chain).
-    fps = partition_fingerprints(todo, "url")
-    counts = (
-        io.read("triples_raw", RAW_DDL)
+    counts = {
+        r["part_id"]: (r["n_out"], r["n_err"])
+        for r in io.read("triples_raw", RAW_DDL)
+        .where(F.col("part_id").isin(pending))
         .groupBy("part_id")
         .agg(
             F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_out"),
             F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("n_err"),
         )
-    )
-    stats = fps.join(counts, "part_id", "left").select(
-        "part_id",
-        "fingerprint",
-        "n_in",
-        F.coalesce("n_out", F.lit(0)).alias("n_out"),
-        F.coalesce("n_err", F.lit(0)).alias("n_err"),
+        .collect()
+    }
+    pend = set(pending)
+    stats = spark.createDataFrame(
+        [
+            (
+                r["part_id"],
+                r["fingerprint"],
+                r["n_in"],
+                counts.get(r["part_id"], (0, 0))[0],
+                counts.get(r["part_id"], (0, 0))[1],
+            )
+            for r in fps_rows
+            if r["part_id"] in pend
+        ],
+        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)
 

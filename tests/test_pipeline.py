@@ -136,3 +136,38 @@ def test_resume_after_partial_failure(spark, tmp_path):
     exp = collections.Counter((r.s, r.p, r.o) for r in clean.triples.select("s", "p", "o").collect())
     assert got == exp
     assert done_parts_before > 0
+
+
+def test_fused_equals_chained(spark):
+    """The fused single-stage operator must produce exactly the
+    chained extract→parse→abbrev output (both modes)."""
+    from kgpipe.checkpoints import with_part_id
+    from kgpipe.nt.rules import parse_rules
+    from kgpipe.operators.abbrev import abbreviate_columns
+    from kgpipe.operators.extract import with_extracted_text
+    from kgpipe.operators.fused import fused_extract_parse_abbrev
+    from kgpipe.operators.parse import parse_pages_to_triples
+    from kgpipe.fixtures import RULES_16_TEXT, gen_pages
+
+    pages = with_part_id(
+        spark.createDataFrame(gen_pages(80)).select("url", "html"), "url", 8
+    )
+    rules = parse_rules(RULES_16_TEXT)
+    for mode in ("compat", "lpm"):
+        fused = fused_extract_parse_abbrev(pages, rules, mode=mode)
+        chained = abbreviate_columns(
+            parse_pages_to_triples(with_extracted_text(pages)),
+            ["s", "p", "o"], rules, mode=mode,
+        )
+        got = collections.Counter(
+            (r.s, r.p, r.o, r.url) for r in fused.where(F.col("error").isNull()).collect()
+        )
+        exp = collections.Counter(
+            (r.s, r.p, r.o, r.url) for r in chained.where(F.col("error").isNull()).collect()
+        )
+        assert got == exp, f"mode {mode} diverged"
+        # quarantine parity too
+        assert (
+            fused.where(F.col("error").isNotNull()).count()
+            == chained.where(F.col("error").isNotNull()).count()
+        )
