@@ -349,6 +349,29 @@ def q_pivot_order_status(spark, sf_dir):
     return o.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
 
 
+def q_price_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile`
+    ≡ DuckDB `quantile_cont`)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_cube_orders(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_customer_set_ops(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -404,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view": q_asof_click_view,
         "sessionize_events": q_sessionize_events,
         "rollup_orders": q_rollup_orders,
+        "price_quantiles": q_price_quantiles,
+        "cube_orders": q_cube_orders,
         "pivot_order_status": q_pivot_order_status,
     }
 
@@ -604,6 +629,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) as revenue, count(*) as n
             from orders
             group by rollup (o_orderpriority, o_orderstatus)
+        """,
+        "price_quantiles": """
+            select l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) as p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) as p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) as p75,
+                   count(*) as n
+            from lineitem group by l_returnflag order by l_returnflag
+        """,
+        "cube_orders": """
+            select o_orderstatus, o_orderpriority, count(*) as n
+            from orders group by cube (o_orderstatus, o_orderpriority)
         """,
         "pivot_order_status": """
             select o_orderpriority,

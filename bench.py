@@ -45,21 +45,17 @@ PAGES_PER_SF = 400_000
 
 
 def bench_pipeline(spark, sf_dir: str, n_pages: int) -> dict:
-    from kgpipe.fixtures import RULES_16_TEXT, gen_pages
+    from kgpipe.fixtures import RULES_16_TEXT
     from kgpipe.pipeline import PipelineConfig, run_pipeline
 
     gen_dir = tempfile.mkdtemp(prefix="kgbench_pages_")
     wh = tempfile.mkdtemp(prefix="kgbench_wh_")
     try:
-        # setup (untimed): synthesize + persist the pages corpus
-        chunk = 5000
-        pdfs = [gen_pages(min(chunk, n_pages - i)) for i in range(0, n_pages, chunk)]
-        import pandas as pd
+        # setup (untimed): synthesize + persist the pages corpus,
+        # generated ON the cluster (pure function of row index)
+        from kgpipe.fixtures import gen_pages_spark
 
-        big = pd.concat(pdfs, ignore_index=True)
-        big["url"] = [f"https://site{i % 97}.example.org/page/{i}" for i in range(len(big))]
-        spark.createDataFrame(big).write.mode("overwrite").parquet(gen_dir)
-
+        gen_pages_spark(spark, n_pages).write.mode("overwrite").parquet(gen_dir)
         pages = spark.read.parquet(gen_dir)
         cfg = PipelineConfig(
             warehouse=wh, rules_text=RULES_16_TEXT, mode="compat",

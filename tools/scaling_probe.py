@@ -1,0 +1,130 @@
+"""Compute-dominated scaling probe: the fused extract→parse→abbrev
+narrow stage over a large staged corpus, timed at two parallelism
+levels.
+
+Rationale (BENCH/BASELINE.md companion): the full pipeline at
+sandbox data sizes is dominated by fixed orchestration latency
+(checkpoint ledger, CC convergence rounds, commit protocols) that a
+single box cannot amortize — at 100 TB those costs are O(1) against
+hours of scan work. The stage that consumes ~all cluster CPU at real
+scale is the narrow per-page chain; this probe sizes that chain
+large enough to be compute-bound and measures its scaling directly.
+
+Writes/updates the "Narrow-stage scaling probe" section appended to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+STAGE_DIR = "/tmp/kgpipe_scaling_corpus"
+
+
+def wait_for_quiet(max_load: float = 3.0, timeout_s: int = 600) -> float:
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load < max_load:
+            return load
+        time.sleep(15)
+    return os.getloadavg()[0]
+
+
+def stage_corpus(n_pages: int) -> str:
+    path = f"{STAGE_DIR}_{n_pages}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from kgpipe.fixtures import gen_pages_spark
+    from kgpipe.session import get_spark
+
+    spark = get_spark(app_name="stage-corpus", master="local[32]")
+    gen_pages_spark(spark, n_pages).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+PROBE_SNIPPET = r"""
+import sys, time, tempfile, os, shutil
+sys.path.insert(0, {repo!r})
+from kgpipe.session import get_spark
+from kgpipe.checkpoints import with_part_id
+from kgpipe.fixtures import RULES_16_TEXT
+from kgpipe.nt.rules import parse_rules
+from kgpipe.operators.fused import fused_extract_parse_abbrev
+
+spark = get_spark(app_name="probe{cpus}", master="local[{cpus}]", shuffle_partitions={cpus})
+pages = with_part_id(spark.read.parquet({corpus!r}).select("url", "html"), "url", 256)
+rows = fused_extract_parse_abbrev(pages, parse_rules(RULES_16_TEXT), mode="compat")
+out = tempfile.mkdtemp(prefix="probe_out_")
+t0 = time.monotonic()
+rows.write.mode("overwrite").parquet(out)
+dt = time.monotonic() - t0
+import pyspark.sql.functions as F
+n = spark.read.parquet(out).where(F.col("error").isNull()).count()
+print("RESULT", dt, n)
+shutil.rmtree(out, ignore_errors=True)
+spark.stop()
+"""
+
+
+def run_probe(corpus: str, cpus: int) -> tuple[float, int]:
+    code = PROBE_SNIPPET.format(repo=REPO, cpus=cpus, corpus=corpus)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, dt, n = line.split()
+            return float(dt), int(n)
+    raise RuntimeError(f"probe failed: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=600_000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+
+    corpus = stage_corpus(args.pages)
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(args.repeats):
+        order = (lo, hi) if rep % 2 == 0 else (hi, lo)
+        for cpus in order:
+            load = wait_for_quiet()
+            dt, n = run_probe(corpus, cpus)
+            results[cpus].append({"sec": dt, "triples": n, "tps": n / dt, "load": round(load, 2)})
+            print(f"[rep {rep}] local[{cpus}] (load {load:.1f}): {dt:.1f}s, {n/dt:,.0f} triples/s", flush=True)
+
+    best = {c: max(rs, key=lambda r: r["tps"]) for c, rs in results.items()}
+    eff = best[hi]["tps"] / ((hi / lo) * best[lo]["tps"])
+    section = [
+        "\n## Narrow-stage scaling probe (compute-dominated)\n",
+        f"\nFused extract→parse→abbreviate over {args.pages:,} synthetic pages",
+        f" ({best[lo]['triples']:,} clean triples), write included, load-gated",
+        f" best-of-{args.repeats} per level:\n\n",
+        "| level | sec | triples/s |\n|---|---|---|\n",
+        f"| local[{lo}] (N) | {best[lo]['sec']:.1f} | {best[lo]['tps']:,.0f} |\n",
+        f"| local[{hi}] ({hi//lo}N) | {best[hi]['sec']:.1f} | {best[hi]['tps']:,.0f} |\n",
+        f"\n**Narrow-stage scaling efficiency = {eff:.3f}**\n",
+        "\nAll probe runs: `" + json.dumps(results) + "`\n",
+    ]
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write("".join(section))
+    print(f"appended to {path}; narrow-stage efficiency={eff:.3f}")
+
+
+if __name__ == "__main__":
+    main()
