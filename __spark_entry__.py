@@ -196,8 +196,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     from kgpipe.operators.dedup import simhash_near_pairs
 
+    # max_hamming=3 is the guaranteed-recall radius of the 4-band
+    # blocking (pigeonhole); simhash_near_pairs raises on anything
+    # wider to avoid silently incomplete pair sets
     return simhash_near_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=16, shingle_k=2
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3, shingle_k=2
     )
 
 
@@ -620,8 +623,11 @@ def oracle_sql() -> dict[str, str]:
               from x
             )
             select user_id, event_id,
-                   sum(is_new) over (partition by user_id order by ts, event_id
-                                     rows between unbounded preceding and current row) as session_seq
+                   -- cast: DuckDB widens windowed sum to HUGEINT; the
+                   -- driver's value hash is type-sensitive and Spark
+                   -- returns BIGINT
+                   cast(sum(is_new) over (partition by user_id order by ts, event_id
+                                     rows between unbounded preceding and current row) as bigint) as session_seq
             from flags
         """,
         "rollup_orders": """

@@ -63,11 +63,15 @@ class CheckpointLog:
         return self.io.read(CHECKPOINT_TABLE)
 
     def completed(self, stage: str) -> DataFrame:
-        """(part_id, fingerprint) of partitions already done for a stage."""
+        """(part_id, fingerprint, n_in) of partitions already done for
+        a stage. n_in is part of the identity: the xor fingerprint of
+        a multiset cancels rows with even multiplicity, so two inputs
+        differing by an even number of copies of existing rows would
+        collide — the row count breaks the tie."""
         return (
             self.read()
             .where((F.col("stage") == stage) & (F.col("status") == "done"))
-            .select("part_id", "fingerprint")
+            .select("part_id", "fingerprint", "n_in")
             .distinct()
         )
 
@@ -87,11 +91,12 @@ class CheckpointLog:
     def pending_partitions(self, stage: str, inputs: DataFrame, key_col: str) -> DataFrame:
         """Filter `inputs` (must carry part_id) down to rows in
         partitions not yet checkpointed with a matching fingerprint.
-        Anti-join on (part_id, fingerprint): a partition whose input
-        bytes changed since the checkpoint is recomputed, not skipped."""
+        Anti-join on (part_id, fingerprint, n_in): a partition whose
+        input bytes OR row count changed since the checkpoint is
+        recomputed, not skipped."""
         fps = partition_fingerprints(inputs, key_col)
         todo = fps.join(
-            self.completed(stage), on=["part_id", "fingerprint"], how="left_anti"
+            self.completed(stage), on=["part_id", "fingerprint", "n_in"], how="left_anti"
         ).select("part_id")
         # part universe is small (n_parts rows) → broadcast semi-join,
         # no shuffle of the big side

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from kgpipe.operators.link import minhash_signature
+from kgpipe.operators.link import (
+    _pairs_from_sorted_array,
+    banded_rows,
+    capped_buckets,
+    minhash_signature,
+)
 from kgpipe.operators.textops import doc_fingerprint
 
 
@@ -75,40 +80,11 @@ def minhash_dup_pairs(
     sh = word_shingles(F.col(text_col), shingle_k)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     sig = minhash_signature(F.col("sh"), num_hashes)
-    banded = base.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.xxhash64(F.slice(sig, j * r + 1, r)).alias("bh"),
-                )
-                for j in range(bands)
-            ])
-        ).alias("e"),
-    ).select("id", "e.band", "e.bh")
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list("id").alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
+    banded = banded_rows(base, "id", sig, bands, r)
+    buckets = capped_buckets(banded, max_bucket, F.collect_list("id").alias("ids"))
     ids = F.array_sort(F.array_distinct(F.col("ids")))
     cand = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            ids,
-                            lambda a: F.transform(
-                                ids, lambda b: F.struct(a.alias("a"), b.alias("b"))
-                            ),
-                        )
-                    ),
-                    lambda st: st["a"] < st["b"],
-                )
-            ).alias("pr")
-        )
+        buckets.select(F.explode(_pairs_from_sorted_array(ids)).alias("pr"))
         .select("pr.a", "pr.b")
         .distinct()
     )
@@ -162,28 +138,40 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     shingle_k: int = 2,
     max_bucket: int = 256,
+    n_bands: int = 4,
 ) -> DataFrame:
     """→ (a, b, hamming) pairs with hamming(simhash) ≤ max_hamming.
-    Blocking: split the 64-bit hash into 4 16-bit bands — any pair
-    within hamming ≤ 3 shares at least one exact band (pigeonhole)."""
+
+    Blocking: split the 64-bit hash into n_bands equal bands — a pair
+    within hamming ≤ n_bands-1 has at least one band with zero
+    differing bits (pigeonhole), so it shares an exact band bucket.
+    max_hamming > n_bands-1 would silently MISS pairs whose diffs
+    spread over every band, so it raises instead: widen n_bands (at
+    the cost of bigger buckets — band width 64/n_bands halves per
+    doubling, so buckets grow ~quadratically) or lower the radius."""
+    if not (n_bands > 0 and 64 % n_bands == 0):
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded blocking with {n_bands} bands only guarantees recall for "
+            f"hamming <= {n_bands - 1}; got max_hamming={max_hamming}. "
+            "Raise n_bands or lower max_hamming."
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("h"))
     banded = base.select(
         "id",
         "h",
-        F.explode(
+        F.posexplode(
             F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.shiftright(F.col("h"), j * 16).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
-                )
-                for j in range(4)
+                F.shiftright(F.col("h"), j * width).bitwiseAND(F.lit(mask))
+                for j in range(n_bands)
             ])
-        ).alias("e"),
-    ).select("id", "h", "e.band", "e.bh")
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("id", "h")).alias("xs"))
-        .where((F.size("xs") > 1) & (F.size("xs") <= max_bucket))
+        ).alias("band", "bh"),
+    )
+    buckets = capped_buckets(
+        banded, max_bucket, F.collect_list(F.struct("id", "h")).alias("xs")
     )
     xs = F.array_sort(F.array_distinct(F.col("xs")))
     pairs = (

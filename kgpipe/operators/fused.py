@@ -54,7 +54,12 @@ def fused_extract_parse_abbrev(
                 # reference order: rewrite the raw line BEFORE parsing
                 # (quirk Q14, cmd/ntto/ntto.go:159)
                 texts = rewriter.rewrite_series(texts)
-            lines = texts.fillna("").str.split("\n")
+            # drop blank lines: an empty/whitespace-only page emits
+            # ZERO rows (the reference's scanner yields no lines for
+            # an empty file), not a spurious quarantine row
+            lines = texts.fillna("").str.split("\n").map(
+                lambda ls: [ln for ln in ls if ln.strip()]
+            )
             counts = lines.str.len().fillna(0).astype(int)
             urls = pdf["url"].repeat(counts).reset_index(drop=True)
             parts = pdf["part_id"].repeat(counts).reset_index(drop=True)

@@ -52,19 +52,28 @@ def char_shingles(col: Column, k: int = 4) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
-    """array<long> minhash signature as a codegen'd fold — no explode,
+    """array<long> minhash signature as a per-row fold — no explode,
     no shuffle, no UDF.
 
-    Hash family by double hashing (Kirsch-Mitzenmahl): h_i(x) =
-    h1(x) + (2i+1)·h2(x), wraparound. Two xxhash64 evaluations per
-    shingle instead of num_hashes — inlining num_hashes independent
-    hash calls into the fold made the generated code large enough to
-    take tens of seconds to JIT."""
+    Hash family by double hashing (Kirsch-Mitzenmacher): h_i(x) =
+    h1(x) + (2i+1)·h2(x). Two xxhash64 evaluations per shingle
+    instead of num_hashes — inlining num_hashes independent hash
+    calls into the fold made the generated code large enough to take
+    tens of seconds to JIT.
+
+    ANSI-safe by construction: h1/h2 are masked to 32 bits, so the
+    largest combined value is < 2^32·(2·num_hashes+1) ≪ 2^63 — no
+    long overflow under Spark 4's default ANSI mode. Driver queries
+    must be correct under ANY session conf (the driver owns the
+    session), so wraparound arithmetic that needs ansi=false is
+    banned here. A 32-bit hash family is the standard minhash choice
+    (Spark MLlib's MinHashLSH uses a 31-bit prime field)."""
     init = F.array_repeat(F.lit(LONG_MAX), num_hashes)
+    m32 = F.lit((1 << 32) - 1).cast("long")
 
     def merge(acc: Column, x: Column) -> Column:
-        h1 = F.xxhash64(x, F.lit(seed))
-        h2 = F.xxhash64(x, F.lit(seed + 1))
+        h1 = F.xxhash64(x, F.lit(seed)).bitwiseAND(m32)
+        h2 = F.xxhash64(x, F.lit(seed + 1)).bitwiseAND(m32)
         hashes = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda i: h1 + (i * 2 + 1) * h2,
@@ -72,6 +81,69 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
     return F.aggregate(shingles, init, merge)
+
+
+def banded_rows(
+    df: DataFrame,
+    id_col: str,
+    sig: Column,
+    bands: int,
+    rows_per_band: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id[, extra…], band, bh): one row per (row, band) with the
+    band's slice hashed.
+
+    Plan shape matters here: the signature fold is ~100× the cost of
+    a band hash, so it must be evaluated ONCE per row. Putting it in
+    a Project directly under the Generate (posexplode) guarantees
+    that — CollapseProject merges Project-over-Project (inlining the
+    fold into the per-band lambda, where a HOF re-evaluates it per
+    element: measured 16× blowup), but nothing inlines a child
+    Project into a Generate's generator."""
+    extras = list(extra_cols or [])
+    sigd = df.select(F.col(id_col), *extras, sig.alias("__sig"))
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.xxhash64(F.slice(F.col("__sig"), j * rows_per_band + 1, rows_per_band)),
+    )
+    return sigd.select(
+        id_col, *extras, F.posexplode(band_hashes).alias("band", "bh")
+    )
+
+
+def capped_buckets(banded: DataFrame, max_bucket: int, *aggs) -> DataFrame:
+    """groupBy(band, bh) with the size cap enforced BEFORE any
+    collect_list materializes. A window count over (band, bh) tags
+    every row with its bucket size — WindowExec streams each bucket
+    through a spillable buffer (disk, not reducer heap), so a
+    degenerate bucket (empty text, boilerplate) is filtered without
+    ever being built as aggregation state; the collect_list then only
+    sees buckets ≤ max_bucket. At 10^12 docs a post-collect cap is
+    an OOM, not a skew guard. The window and the groupBy hash-
+    partition on the same keys, so the agg adds no second exchange —
+    and the banding (signature fold) is evaluated exactly once."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    capped = banded.withColumn("__n", F.count(F.lit(1)).over(w)).where(
+        (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
+    )
+    return capped.groupBy("band", "bh").agg(*aggs)
+
+
+def _pairs_from_sorted_array(arr: Column) -> Column:
+    """All (a, b) with a < b from a sorted-distinct array — bounded
+    by the bucket cap, computed JVM-side."""
+    return F.filter(
+        F.flatten(
+            F.transform(
+                arr,
+                lambda a: F.transform(arr, lambda b: F.struct(a.alias("a"), b.alias("b"))),
+            )
+        ),
+        lambda st: st["a"] < st["b"],
+    )
 
 
 def lsh_candidate_pairs(
@@ -93,38 +165,12 @@ def lsh_candidate_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes, seed)
-    banded = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.xxhash64(F.slice(sig, j * r + 1, r)).alias("bh"),
-                )
-                for j in range(bands)
-            ])
-        ).alias("e"),
-    ).select(id_col, "e.band", "e.bh")
-
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
+    banded = banded_rows(df, id_col, sig, bands, r)
+    buckets = capped_buckets(banded, max_bucket, F.collect_list(id_col).alias("ids"))
     ids = F.array_sort(F.array_distinct(F.col("ids")))
-    pairs = buckets.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        ids,
-                        lambda a: F.transform(ids, lambda b: F.struct(a.alias("a"), b.alias("b"))),
-                    )
-                ),
-                lambda st: st["a"] < st["b"],
-            )
-        ).alias("pr")
-    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    pairs = buckets.select(F.explode(_pairs_from_sorted_array(ids)).alias("pr")).select(
+        F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+    )
     return pairs.distinct()
 
 
@@ -137,15 +183,21 @@ def verified_neardup_edges(
     shingle_k: int = 4,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """Full near-dup linker: normalize → LSH candidates → exact
-    shingle-Jaccard verification ≥ threshold → edges(src, dst).
+    """Full near-dup linker: normalize → (a) exact-normalized star
+    edges ∪ (b) LSH candidates verified by exact shingle-Jaccard ≥
+    threshold → edges(src, dst).
 
-    Exact-equality after normalization is always an edge regardless
-    of threshold (scheme/www/slash/%20 variants collapse to identical
-    normal forms)."""
+    Exact-equality after normalization (scheme/www/slash/%20 variants
+    collapse to identical normal forms) is linked by its own groupBy
+    on the normal form — NOT left to the LSH path, whose recall for
+    any single pair is probabilistic and whose bucket cap may drop a
+    hot bucket entirely. Identity-by-normalization must be exact, so
+    it never rides on bucket luck."""
     base = df.select(
         F.col(id_col).alias("uri"), normalize_uri(F.col(id_col)).alias("norm")
     ).distinct()
+
+    exact = exact_normalized_edges(df, id_col)
 
     cands = lsh_candidate_pairs(
         base, "uri", "norm", num_hashes, bands, shingle_k, max_bucket
@@ -157,10 +209,10 @@ def verified_neardup_edges(
     sh_a = char_shingles(F.col("norm_a"), shingle_k)
     sh_b = char_shingles(F.col("norm_b"), shingle_k)
     jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
-    verified = joined.where(
-        (F.col("norm_a") == F.col("norm_b")) | (jac >= F.lit(jaccard_threshold))
+    verified = joined.where(jac >= F.lit(jaccard_threshold)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
     )
-    return verified.select(F.col("a").alias("src"), F.col("b").alias("dst")).distinct()
+    return verified.union(exact).distinct()
 
 
 def exact_normalized_edges(df: DataFrame, id_col: str = "uri") -> DataFrame:

@@ -35,7 +35,12 @@ def parse_pages_to_triples(pages_df, text_col: str = "text", url_col: str = "url
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lines = pdf[text_col].fillna("").str.split("\n")
+            # blank lines dropped: empty pages contribute zero rows
+            # (matches the reference scanner; keeps n_err counters
+            # comparable) — same rule as the fused operator
+            lines = pdf[text_col].fillna("").str.split("\n").map(
+                lambda ls: [ln for ln in ls if ln.strip()]
+            )
             counts = lines.str.len().fillna(0).astype(int)
             urls = pdf[url_col].repeat(counts).reset_index(drop=True)
             flat = pd.Series(

@@ -77,27 +77,63 @@ def cosine_topk(
     )
 
 
+def _centroid_literal_array(centroids: DataFrame, vec_col: str) -> Column:
+    """Collect the (small, by construction) centroid table and embed
+    it as a literal array<struct<cid, v, nrm>> with norms precomputed
+    driver-side. Centroids small enough to broadcast are small enough
+    to serialize as plan literals; beyond ~10^4 centroids switch to a
+    broadcast-join + max_by aggregation instead."""
+    import math
+
+    rows = centroids.select("centroid_id", F.col(vec_col)).collect()
+    if not rows:
+        raise ValueError("empty centroid table")
+    cents = []
+    for r in sorted(rows, key=lambda r: r["centroid_id"]):
+        v = [float(x) for x in r[vec_col]]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append(
+            F.struct(
+                F.lit(int(r["centroid_id"])).alias("cid"),
+                F.lit(v).cast("array<double>").alias("v"),
+                F.lit(nrm).alias("nrm"),
+            )
+        )
+    return F.array(*cents)
+
+
+def _centroid_rank_structs(vec: Column, cent_arr: Column) -> Column:
+    """array<struct<s, neg_cid, cid>> — one entry per centroid, where
+    s = dot(vec, c.v)/c.nrm ranks identically to cosine (the query
+    vector's own norm is a positive per-row constant, so dividing by
+    it preserves both order and ties). Struct comparison is
+    lexicographic, so array_max picks (highest sim, then lowest
+    centroid id) — the same tie-break as the window it replaces."""
+    vd = vec.cast("array<double>")
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (_dot(vd, c["v"]) / c["nrm"]).alias("s"),
+            (-c["cid"]).alias("neg_cid"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (small) centroid
-    table, window-min per vector. → df + cluster_id."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("cent_v")
-    )
-    scored = df.crossJoin(F.broadcast(c)).withColumn(
-        "sim", cosine(F.col(vec_col), F.col("cent_v"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn", "sim", "cent_v")
-        .withColumnRenamed("centroid_id", "cluster_id")
-    )
+    """Nearest-centroid assignment with NO shuffle and NO join: a JVM
+    array fold over the centroid literal picks each vector's argmax
+    centroid, so the plan is one narrow Project over the corpus scan.
+    (The previous crossJoin + window version expanded to N×C rows and
+    shuffled them all to rank per vec_id.) → df + cluster_id."""
+    cent_arr = _centroid_literal_array(centroids, vec_col)
+    best = F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))
+    return df.withColumn("cluster_id", best["cid"])
 
 
 def deterministic_centroids(
@@ -121,21 +157,30 @@ def ivf_topk(
     nprobe: int = 2,
 ) -> DataFrame:
     """Approximate top-k: search only the nprobe clusters nearest to
-    each query. → (query_id, neighbor_id, score, rank)."""
-    cents = deterministic_centroids(corpus, id_col, vec_col, stride)
-    corpus_assigned = assign_clusters(corpus, cents, id_col, vec_col)
+    each query. → (query_id, neighbor_id, score, rank).
 
-    # nprobe nearest clusters per query
-    c = cents.select("centroid_id", F.col(vec_col).alias("cent_v"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qc = q.crossJoin(F.broadcast(c)).withColumn(
-        "sim", cosine(F.col("qv"), F.col("cent_v"))
+    Both the corpus assignment and the per-query probe selection are
+    narrow folds over the centroid literal (no shuffle); the only
+    exchange left is the candidate join on cluster_id — which IS the
+    IVF bucket lookup, and at rest would be partition pruning against
+    a corpus bucketed by cluster_id on disk."""
+    cents = deterministic_centroids(corpus, id_col, vec_col, stride)
+    cent_arr = _centroid_literal_array(cents, vec_col)
+    corpus_assigned = corpus.withColumn(
+        "cluster_id", F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))["cid"]
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cluster_id"))
+
+    # nprobe nearest clusters per query: sort the rank structs
+    # descending (reverse of the ascending lexicographic sort → sim
+    # desc, centroid_id asc on ties), take nprobe, explode
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    top_probes = F.slice(
+        F.reverse(F.array_sort(_centroid_rank_structs(F.col("qv"), cent_arr))),
+        1,
+        nprobe,
+    )
+    probes = q.select(
+        "query_id", "qv", F.explode(top_probes.getField("cid")).alias("cluster_id")
     )
 
     cand = probes.join(

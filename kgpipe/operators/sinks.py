@@ -31,9 +31,14 @@ def write_ldj(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_nt(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """triples(s, p, o, ...) → N-Triples-shaped lines `<s> <p> <o> .`.
-    Terms that were abbreviated (CURIEs) or literals are emitted
-    bare, matching what the reference's abbreviated output looks like
-    after its textual substitution (it never re-quotes)."""
+
+    NOT byte-identical to `ntto -a` output: the reference substitutes
+    prefixes textually IN PLACE, so abbreviated terms keep their
+    original angle brackets (`<gnd:123>`) and literals keep their
+    quotes, while this sink emits CURIEs/literals bare and re-brackets
+    only terms that still look like full IRIs. The triple VALUES
+    (after stripping framing) are identical; byte-level consumers of
+    ntto's NT output should diff term-wise, not line-wise."""
 
     def term(c: str) -> F.Column:
         # IRIs keep angle brackets only if they still look like IRIs

@@ -51,13 +51,17 @@ def salted_collect_sample(
     n_salt: int = 32,
 ) -> DataFrame:
     """Bounded collect_list per key without a hot reducer: each salt
-    bucket collects at most ceil(limit/n_salt)+1 values, phase 2
-    flattens and truncates. → key_cols + sample (array)."""
-    per_salt = per_key_limit // n_salt + 1
+    bucket keeps its per_key_limit smallest values (enough for the
+    worst case where all global minima hash into one bucket — this
+    is what makes the result EXACTLY equal the unsalted
+    slice(sort(collect_list), 1, limit)), phase 2 flattens, re-sorts
+    and truncates. Reducer state is ≤ per_key_limit values per
+    (key, salt) instead of the key's whole population.
+    → key_cols + sample (array)."""
     salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salt))
     phase1 = (
         df.groupBy(*key_cols, salt.alias("__salt"))
-        .agg(F.slice(F.sort_array(F.collect_list(F.col(value_col))), 1, per_salt).alias("__vs"))
+        .agg(F.slice(F.sort_array(F.collect_list(F.col(value_col))), 1, per_key_limit).alias("__vs"))
     )
     return phase1.groupBy(*key_cols).agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("__vs"))), 1, per_key_limit).alias("sample")

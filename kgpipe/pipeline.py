@@ -110,11 +110,12 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
     # second fingerprint pass for the checkpoint stats
     fps_rows = partition_fingerprints(src, "url").collect()
     completed = {
-        (r["part_id"], r["fingerprint"]) for r in log.completed(stage).collect()
+        (r["part_id"], r["fingerprint"], r["n_in"])
+        for r in log.completed(stage).collect()
     }
     pending = sorted(
         r["part_id"] for r in fps_rows
-        if (r["part_id"], r["fingerprint"]) not in completed
+        if (r["part_id"], r["fingerprint"], r["n_in"]) not in completed
     )
     if not pending and io.exists("triples_raw"):
         return
@@ -176,9 +177,10 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     done = {
-        (r["part_id"], r["fingerprint"]) for r in log.completed(stage).collect()
+        (r["part_id"], r["fingerprint"], r["n_in"])
+        for r in log.completed(stage).collect()
     }
-    if (0, fp_row["fp"]) in done and io.exists("canonical_map"):
+    if (0, fp_row["fp"], fp_row["n"]) in done and io.exists("canonical_map"):
         return
 
     explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
@@ -217,8 +219,11 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
         F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    done = {(r["part_id"], r["fingerprint"]) for r in log.completed(stage).collect()}
-    if (0, fp_row["fp"]) in done and io.exists("edges"):
+    done = {
+        (r["part_id"], r["fingerprint"], r["n_in"])
+        for r in log.completed(stage).collect()
+    }
+    if (0, fp_row["fp"], fp_row["n"]) in done and io.exists("edges"):
         return
 
     edges = edges_with_buckets(

@@ -64,9 +64,43 @@ def test_minhash_agrees_with_exact_jaccard(spark, corpus):
 
 
 def test_simhash_near_pairs(spark, corpus):
-    pairs = {(r.a, r.b) for r in simhash_near_pairs(corpus, "doc_id", "text", max_hamming=10).collect()}
+    # radius 10 needs ≥11 bands for guaranteed recall → 16 bands here
+    pairs = {(r.a, r.b) for r in simhash_near_pairs(
+        corpus, "doc_id", "text", max_hamming=10, n_bands=16
+    ).collect()}
     assert (2, 102) in pairs
     assert not any(103 in p for p in pairs)
+
+
+def test_simhash_rejects_unguaranteed_radius(spark, corpus):
+    # 4 bands only pigeonhole hamming ≤ 3; wider radii would silently
+    # miss pairs, so the operator must refuse instead
+    with pytest.raises(ValueError, match="guarantees recall"):
+        simhash_near_pairs(corpus, "doc_id", "text", max_hamming=16, n_bands=4)
+
+
+def test_degenerate_bucket_capped(spark):
+    """One pathological bucket (20k identical docs → identical
+    signatures → every band collides) must be dropped by the cap
+    BEFORE materialization — the run completes with bounded reducer
+    state and the rest of the output is unchanged."""
+    n = 20_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all work and no play makes jack a dull boy").alias("text"),
+    )
+    extra = spark.createDataFrame(
+        [(n + 1, BASE), (n + 2, BASE + " extra tail words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b)
+        for r in minhash_dup_pairs(
+            base.union(extra), "doc_id", "text",
+            num_hashes=64, bands=16, jaccard_threshold=0.5, max_bucket=64,
+        ).collect()
+    }
+    assert got == {(n + 1, n + 2)}
 
 
 def test_ngram_jaccard_threshold(spark, corpus):
