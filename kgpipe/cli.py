@@ -6,13 +6,19 @@
 
 Subcommands mirror the reference CLI surface
 (/root/reference/cmd/ntto/ntto.go:66-76) where it makes sense:
-  run        — full pipeline (ntto's -a -j composition, generalized)
+  convert    — the reference's PRIMARY job: NT file (or '-' stdin) →
+               abbreviate → parse → LDJ/NT output
+               (ntto [-a] [-j] [-n S] FILE, ntto.go:144-211)
+  run        — full KG pipeline (extract→link→canonicalize→materialize)
   dump-rules — print the active rule table, sorted (ntto -d)
   explain    — print the physical plan of the extract stage without
                running it (ntto -c printed its shell command)
   incremental— process only new pages files (streaming AvailableNow)
 `-w`-style parallelism is owned by spark-submit (--master local[N] /
 executor count), not by this CLI.
+
+With no --rules flag the reference's built-in 223-rule table applies
+(rules.go:3-242), same as ntto.
 """
 
 from __future__ import annotations
@@ -25,20 +31,37 @@ def _load_rules(path: str | None) -> str:
     if path:
         with open(path) as f:
             return f.read()
-    from kgpipe.fixtures import RULES_16_TEXT
+    from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
 
-    return RULES_16_TEXT
+    return DEFAULT_RULES_TEXT
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kgpipe")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
+    cv = sub.add_parser("convert", help="NT file → abbreviated LDJ/NT (ntto's primary job)")
+    cv.add_argument("input", help="N-Triples file, directory of files, or '-' for stdin")
+    cv.add_argument("--out", required=True, help="output directory")
+    cv.add_argument("--format", choices=["ldj", "nt"], default="ldj",
+                    help="ldj = ntto -j (default); nt = abbreviated N-Triples")
+    cv.add_argument("--no-abbrev", action="store_true",
+                    help="parse without prefix rewriting (plain ntto -j)")
+    cv.add_argument("--rules", default=None, help="rules file (default: built-in 223)")
+    cv.add_argument("--mode", choices=["lpm", "compat"], default="compat",
+                    help="compat = reference order (rewrite raw line, then parse)")
+    cv.add_argument("--null", default=None,
+                    help="null-sentinel shortcut that strips its prefix (ntto -n)")
+    cv.add_argument("--strict", action="store_true",
+                    help="fail on the first broken line (reference default without -i)")
+
     run = sub.add_parser("run", help="run the full KG pipeline")
     run.add_argument("--pages", required=True, help="parquet dir of pages")
     run.add_argument("--warehouse", required=True)
     run.add_argument("--rules", default=None, help="rules file (default: embedded 16)")
     run.add_argument("--mode", choices=["lpm", "compat"], default="lpm")
+    run.add_argument("--null", default="<NULL>",
+                     help="null-sentinel shortcut that strips its prefix (ntto -n)")
     run.add_argument("--parts", type=int, default=256)
     run.add_argument("--buckets", type=int, default=64)
     run.add_argument("--no-neardup", action="store_true")
@@ -62,10 +85,54 @@ def main(argv: list[str] | None = None) -> int:
         print(dump_rules(parse_rules(_load_rules(args.rules))))
         return 0
 
+    from pyspark.sql import SparkSession
+
     from kgpipe.session import get_spark
 
+    # only stop a session this invocation created: embedders (tests,
+    # notebooks) keep theirs
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name=f"kgpipe-{args.cmd}")
     try:
+        if args.cmd == "convert":
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from kgpipe.convert import convert_nt_lines
+            from kgpipe.nt.rules import NULL_SENTINEL, parse_rules
+            from kgpipe.operators.sinks import write_ldj, write_nt
+
+            path = args.input
+            if path == "-":
+                # stdin is driver-local by nature; spool it so Spark can
+                # split it (the file path is the distributable handle)
+                tmp = tempfile.NamedTemporaryFile(
+                    "w", suffix=".nt", delete=False, prefix="kgpipe_stdin_"
+                )
+                tmp.write(sys.stdin.read())
+                tmp.close()
+                path = tmp.name
+            lines = spark.read.text(path)
+            triples = convert_nt_lines(
+                lines,
+                parse_rules(_load_rules(args.rules)),
+                mode=args.mode,
+                null=args.null if args.null is not None else NULL_SENTINEL,
+                abbreviate=not args.no_abbrev,
+            )
+            clean = triples.where(F.col("error").isNull())
+            if args.strict:
+                bad = triples.where(F.col("error").isNotNull()).select("error").first()
+                if bad is not None:
+                    print(f"kgpipe: {bad['error']}", file=sys.stderr)
+                    return 1
+            if args.format == "ldj":
+                write_ldj(clean, args.out)
+            else:
+                write_nt(clean, args.out)
+            return 0
+
         if args.cmd == "run":
             from kgpipe.pipeline import PipelineConfig, run_pipeline
 
@@ -74,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
                 warehouse=args.warehouse,
                 rules_text=_load_rules(args.rules),
                 mode=args.mode,
+                null_shortcut=args.null,
                 n_parts=args.parts,
                 n_buckets=args.buckets,
                 neardup_link=not args.no_neardup,
@@ -106,7 +174,8 @@ def main(argv: list[str] | None = None) -> int:
             print({"batches": n})
             return 0
     finally:
-        spark.stop()
+        if not pre_existing:
+            spark.stop()
     return 1
 
 

@@ -1,15 +1,17 @@
 """Table-format shim (SURVEY.md §7): Iceberg when its runtime jar is
-on the classpath, Parquet with identical partition layout otherwise.
+on the classpath and a catalog is configured, Parquet with identical
+partition layout otherwise.
 
 The sandbox has no Iceberg jar and no network for ivy, so Parquet is
 the tested path; the API is the thing the pipeline codes against, so
-a cluster with Iceberg configured gets real table semantics without
-touching the stages.
+a cluster with Iceberg configured gets real table semantics (hidden
+partitioning, snapshot isolation, schema evolution) without touching
+the stages. BASELINE.json names Iceberg tables as the input contract —
+`configure_iceberg` + `TableIO(catalog=...)` is that seam, and the
+tests exercise it when the jar is present (skip otherwise).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -22,28 +24,81 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_conf(catalog: str, warehouse: str) -> dict[str, str]:
+    """The session configs that make `catalog` an Iceberg hadoop
+    catalog rooted at `warehouse`. Pass to get_spark(extra_conf=...)
+    or apply to a builder before getOrCreate — catalog configs are
+    session-start-only."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def configure_iceberg(spark: SparkSession, catalog: str, warehouse: str) -> bool:
+    """Best-effort runtime configuration of an Iceberg catalog on an
+    existing session (works because SparkCatalog instances are
+    resolved lazily on first reference). Returns False when the
+    runtime jar is absent."""
+    if not iceberg_available(spark):
+        return False
+    for k, v in iceberg_conf(catalog, warehouse).items():
+        if k != "spark.sql.extensions":  # extensions are start-only
+            spark.conf.set(k, v)
+    return True
+
+
 class TableIO:
     """Read/write named tables under a warehouse root.
 
     Parquet layout: {root}/{name}/ (+ hive-style partition dirs when
-    partition_by is given). With Iceberg available the same calls go
-    through the catalog (`writeTo(...).createOrReplace()`).
+    partition_by is given). With `catalog` set (requires the Iceberg
+    jar) the same calls go through `writeTo(catalog.name)` /
+    `spark.table` instead. Existence checks go through the Hadoop
+    FileSystem API, so resume works on any cluster filesystem
+    (HDFS, s3a, gs), not just the driver's local disk.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
         self.spark = spark
         self.root = root
-        self.use_iceberg = False  # flipped by configure_iceberg when jar present
+        self.catalog = catalog
+        if catalog is not None and not configure_iceberg(spark, catalog, root):
+            raise RuntimeError(
+                "Iceberg catalog requested but the runtime jar is not on the classpath"
+            )
 
+    # -- path helpers (parquet layout) ---------------------------------
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name)
+        return f"{self.root.rstrip('/')}/{name}"
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
 
     def exists(self, name: str) -> bool:
-        p = self.path(name)
-        return os.path.isdir(p) and (
-            os.path.exists(os.path.join(p, "_SUCCESS"))
-            or any(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs)
-        )
+        if self.catalog is not None:
+            return self.spark.catalog.tableExists(self._ident(name))
+        fs, p = self._fs(self.path(name))
+        if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
+            return False
+        jvm = self.spark._jvm
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            return True
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
 
     def write(
         self,
@@ -52,6 +107,21 @@ class TableIO:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
     ) -> None:
+        if self.catalog is not None:
+            w = df.writeTo(self._ident(name))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "append" and self.exists(name):
+                w.append()
+            elif mode == "overwrite" and partition_by and self.exists(name):
+                # same semantics as dynamic partition overwrite: only
+                # the partitions present in df are replaced
+                w.overwritePartitions()
+            else:
+                w.createOrReplace()
+            return
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -61,6 +131,12 @@ class TableIO:
         """schema: optional DDL string. Required to round-trip tables
         that may legitimately be empty (a zero-row write leaves no
         parquet footer to infer from)."""
+        if self.catalog is not None:
+            if not self.exists(name):
+                if schema is not None:
+                    return self.spark.createDataFrame([], schema)
+                raise ValueError(f"no such table: {self._ident(name)}")
+            return self.spark.table(self._ident(name))
         r = self.spark.read
         if schema is not None:
             r = r.schema(schema)
@@ -72,6 +148,8 @@ class TableIO:
             raise
 
     def drop(self, name: str) -> None:
-        import shutil
-
-        shutil.rmtree(self.path(name), ignore_errors=True)
+        if self.catalog is not None:
+            self.spark.sql(f"drop table if exists {self._ident(name)}")
+            return
+        fs, p = self._fs(self.path(name))
+        fs.delete(p, True)

@@ -21,13 +21,19 @@ import pandas as pd
 from kgpipe.nt.rules import PrefixRewriter, Rule
 
 
-def abbreviate_columns(df, columns: list[str], rules: list[Rule], mode: str = "lpm"):
+def abbreviate_columns(
+    df, columns: list[str], rules: list[Rule], mode: str = "lpm",
+    null: str | None = None,
+):
     """Rewrite each named string column through the broadcast rule
-    table. Returns df with the columns replaced in place."""
+    table. Returns df with the columns replaced in place. `null`
+    overrides the strip-sentinel shortcut (ntto -n)."""
     from pyspark.sql import SparkSession, functions as F, types as T
 
+    from kgpipe.nt.rules import NULL_SENTINEL
+
     spark = SparkSession.getActiveSession()
-    rewriter = PrefixRewriter(rules, mode=mode)
+    rewriter = PrefixRewriter(rules, mode=mode, null=null if null is not None else NULL_SENTINEL)
     bc = spark.sparkContext.broadcast(rewriter)
 
     @F.pandas_udf(T.StringType())

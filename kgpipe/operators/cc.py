@@ -70,15 +70,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor, not sum: ANSI mode (Spark 4 default) makes sum() of
-    # 64-bit hashes overflow; xor over a distinct edge set is a valid
-    # set fingerprint
-    row = edges.agg(
+def _checkpoint_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize one round (lineage truncation) and collect its
+    set fingerprint IN THE SAME JOB via an Observation — halving the
+    per-round fixed job latency vs a separate fingerprint pass.
+
+    bit_xor, not sum: ANSI mode (Spark 4 default) makes sum() of
+    64-bit hashes overflow; xor over a distinct edge set is a valid
+    set fingerprint (paired with the count to break even-multiplicity
+    cancellation — though the round output is distinct by
+    construction)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"))), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    )
+    out = observed.localCheckpoint(eager=True)
+    m = obs.get  # populated by the checkpoint job — no extra action
+    return out, (int(m["n"]), int(m["h"]))
 
 
 def connected_components(
@@ -100,9 +112,9 @@ def connected_components(
     prev_fp = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))
-        # truncate lineage: iterative self-joins otherwise stack plans
-        e = e.localCheckpoint(eager=True)
-        fp = _edge_fingerprint(e)
+        # one job per round: lineage-truncating checkpoint + the
+        # convergence fingerprint, fused via Observation
+        e, fp = _checkpoint_with_fingerprint(e)
         if fp == prev_fp:
             break
         prev_fp = fp

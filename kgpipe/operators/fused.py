@@ -23,7 +23,7 @@ from typing import Iterator
 import pandas as pd
 
 from kgpipe.nt.parser import parse_nt_frame
-from kgpipe.nt.rules import PrefixRewriter, Rule
+from kgpipe.nt.rules import NULL_SENTINEL, PrefixRewriter, Rule
 from kgpipe.operators.extract import extract_text_frame
 
 FUSED_SCHEMA = "s string, p string, o string, url string, error string, part_id int"
@@ -33,6 +33,7 @@ def fused_extract_parse_abbrev(
     pages_df,
     rules: list[Rule],
     mode: str = "lpm",
+    null: str = NULL_SENTINEL,
 ):
     """pages(url, html, part_id) → (s, p, o, url, error, part_id).
 
@@ -43,7 +44,7 @@ def fused_extract_parse_abbrev(
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(PrefixRewriter(rules, mode=mode))
+    bc = spark.sparkContext.broadcast(PrefixRewriter(rules, mode=mode, null=null))
     src = pages_df.select("url", "html", "part_id")
 
     def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -56,6 +56,8 @@ class PipelineConfig:
     # predicate as it appears AFTER abbreviation (the fixture RULES
     # have no owl rule, so the full IRI survives)
     sameas_pred: str = "http://www.w3.org/2002/07/owl#sameAs"
+    # shortcut treated as the strip-prefix sentinel (ntto -n)
+    null_shortcut: str = "<NULL>"
     neardup_link: bool = True
     # 1.0 → exact-normalized linking only (precision-first default);
     # < 1.0 → minhash-LSH + Jaccard near-dup linking
@@ -124,7 +126,7 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
     # fused single-Python-stage operator: one worker per task, one
     # Arrow crossing (operators/fused.py; the chained composable form
     # lives in extract.py/parse.py/abbrev.py and is equivalence-tested)
-    rows = fused_extract_parse_abbrev(todo, rules, mode=cfg.mode)
+    rows = fused_extract_parse_abbrev(todo, rules, mode=cfg.mode, null=cfg.null_shortcut)
 
     # dynamic partition overwrite (set in kgpipe.session): only the
     # part_ids present in `todo` are replaced — completed partitions'

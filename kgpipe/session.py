@@ -75,6 +75,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # ntto -cpuprofile analogue: SPARK_GRAFT_EVENTLOG=<dir> writes the
+    # Spark event log there for post-hoc profiling (history server /
+    # stage-time analysis of bench runs)
+    event_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if event_dir:
+        os.makedirs(event_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", event_dir
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

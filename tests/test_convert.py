@@ -1,0 +1,145 @@
+"""The reference's primary job end-to-end: NT file → abbreviate →
+parse → LDJ/NT, checked as a multiset against the LIVE perl pipeline
+(the reference's actual execution path) running the shipped 223-rule
+DefaultRules table (SURVEY.md §2c Q13 overlaps only materialize on
+the real table)."""
+
+import collections
+import json
+import os
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgpipe.convert import convert_nt_lines
+from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
+from kgpipe.nt.parser import NTParseError, parse_ntriple
+from kgpipe.nt.rules import PrefixRewriter, parse_rules, sedify
+
+RULES = parse_rules(DEFAULT_RULES_TEXT)
+
+# lines that hit the Q13 overlap semantics on the real table:
+# dbp vs category (category IS a dbp-prefixed URI), xhtml vs xhv,
+# duplicate shortcuts (atom twice, virtrdf twice), plus plain rows
+NT_LINES = [
+    "<http://dbpedia.org/resource/Berlin> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://dbpedia.org/ontology/City> .",
+    "<http://dbpedia.org/resource/Category:Cities> <http://www.w3.org/2004/02/skos/core#broader> <http://dbpedia.org/resource/Category:Places> .",
+    "<http://www.w3.org/1999/xhtml/vocab#next> <http://purl.org/dc/elements/1.1/title> \"next page\" .",
+    "<http://www.w3.org/1999/xhtml/section> <http://purl.org/dc/terms/isPartOf> <http://www.w3.org/1999/xhtml/body> .",
+    "<http://atomowl.org/ontologies/atomrdf#Feed> <http://www.w3.org/2000/01/rdf-schema#label> \"feed\" .",
+    "<http://www.w3.org/2005/Atom> <http://www.w3.org/2002/07/owl#sameAs> <http://atomowl.org/ontologies/atomrdf#Atom> .",
+    "<http://www.openlinksw.com/virtrdf-data-formats#fmt> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.openlinksw.com/schemas/virtrdf#Format> .",
+    "<http://d-nb.info/gnd/118540238> <http://d-nb.info/standards/elementset/gnd#preferredName> \"Goethe\" .",
+    "<http://viaf.org/viaf/24602065> <http://schema.org/name> \"J. W. Goethe\" .",
+    "<http://example.org/unmapped/x> <http://example.org/unmapped/p> \"plain literal with http://dbpedia.org/resource/Embedded inside\" .",
+]
+
+
+def perl_triples(lines, rules, parts=1):
+    """Ground truth: the reference's own perl pipeline → parse."""
+    cmd = sedify(rules, parts, "")
+    res = subprocess.run(cmd, shell=True, input="\n".join(lines),
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    out = collections.Counter()
+    for line in res.stdout.splitlines():
+        if not line.strip():
+            continue
+        try:
+            s, p, o = parse_ntriple(line)
+        except NTParseError:
+            continue
+        out[(s, p, o)] += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def lines_df(spark):
+    return spark.createDataFrame([(l,) for l in NT_LINES], "value string").repartition(4)
+
+
+def test_convert_compat_matches_live_perl_defaultrules(spark, lines_df):
+    got = collections.Counter(
+        (r.s, r.p, r.o)
+        for r in convert_nt_lines(lines_df, RULES, mode="compat")
+        .where(F.col("error").isNull()).collect()
+    )
+    exp = perl_triples(NT_LINES, RULES)
+    assert got == exp
+
+
+def test_q13_overlaps_pinned_on_default_rules(spark):
+    """The divergence matrix on the real table, both modes:
+    compat = first-rule-in-order wins (sequential substitution),
+    lpm = longest prefix wins."""
+    compat = PrefixRewriter(RULES, mode="compat")
+    lpm = PrefixRewriter(RULES, mode="lpm")
+    cat = "http://dbpedia.org/resource/Category:Cities"
+    # dbp precedes category in the table → compat rewrites dbp first
+    assert compat.rewrite_term(cat) == "dbp:Category:Cities"
+    # category's prefix is longer → lpm picks it
+    assert lpm.rewrite_term(cat) == "category:Cities"
+    xhv = "http://www.w3.org/1999/xhtml/vocab#next"
+    # xhtml precedes xhv in the table → compat truncates at xhtml/
+    assert compat.rewrite_term(xhv) == "xhtml:vocab#next"
+    assert lpm.rewrite_term(xhv) == "xhv:next"
+    # duplicate shortcut: both atom rules fire on their own prefixes
+    assert compat.rewrite_term("http://atomowl.org/ontologies/atomrdf#Feed") == "atom:Feed"
+    assert compat.rewrite_term("http://www.w3.org/2005/Atom") == "atom:"
+    assert lpm.rewrite_term("http://www.w3.org/2005/Atom") == "atom:"
+    # and each matches the live perl pipeline verbatim
+    cmd = sedify(RULES, 1, "")
+    probe = [cat, xhv, "http://atomowl.org/ontologies/atomrdf#Feed", "http://www.w3.org/2005/Atom"]
+    res = subprocess.run(cmd, shell=True, input="\n".join(probe),
+                         capture_output=True, text=True)
+    assert res.stdout.rstrip("\n").split("\n") == [compat.rewrite_term(t) for t in probe]
+
+
+def test_convert_lpm_rewrites_terms_only(spark, lines_df):
+    """lpm mode parses first: the prefix inside a literal survives."""
+    rows = {
+        (r.s, r.p): r.o
+        for r in convert_nt_lines(lines_df, RULES, mode="lpm")
+        .where(F.col("error").isNull()).collect()
+    }
+    lit = rows[("http://example.org/unmapped/x", "http://example.org/unmapped/p")]
+    assert "http://dbpedia.org/resource/Embedded" in lit
+    # lpm: the longer category prefix wins over dbp (unlike compat)
+    assert rows[("category:Cities", "skos:broader")] == "category:Places"
+
+
+def test_convert_null_sentinel_strips(spark):
+    """ntto -n: a rule whose shortcut equals the sentinel strips its
+    prefix instead of abbreviating (common.go:111-114)."""
+    rules = parse_rules("STRIP http://example.org/\ndc http://purl.org/dc/elements/1.1/")
+    df = spark.createDataFrame(
+        [("<http://example.org/a> <http://purl.org/dc/elements/1.1/title> \"t\" .",)],
+        "value string",
+    )
+    r = convert_nt_lines(df, rules, mode="compat", null="STRIP").collect()[0]
+    assert (r.s, r.p, r.o) == ("a", "dc:title", "t")
+
+
+def test_convert_cli_end_to_end(spark, tmp_path):
+    """Full CLI path: NT file in, LDJ out, multiset equals perl."""
+    from kgpipe.cli import main
+
+    src = tmp_path / "in.nt"
+    src.write_text("\n".join(NT_LINES) + "\n")
+    out = tmp_path / "out"
+    rc = main(["convert", str(src), "--out", str(out), "--format", "ldj"])
+    assert rc == 0
+    got = collections.Counter()
+    for name in os.listdir(out):
+        if name.startswith("part-"):
+            with open(out / name) as f:
+                for line in f:
+                    d = json.loads(line)
+                    got[(d["s"], d["p"], d["o"])] += 1
+    assert got == perl_triples(NT_LINES, RULES)
+
+
+def test_convert_empty_input_zero_rows(spark):
+    df = spark.createDataFrame([("",), ("   ",)], "value string")
+    assert convert_nt_lines(df, RULES).count() == 0
