@@ -31,6 +31,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Unlock parallelism for CPU-heavy chains over tiny tables: a
+    single-row-group parquet file arrives as ONE input split no
+    matter what minPartitionNum says (row groups don't split), which
+    serializes the whole downstream expression chain onto one core.
+    The explicit repartition is a trivial shuffle of small rows here;
+    at real scale inputs have many row groups and the same operators
+    parallelize off the scan alone."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -174,7 +185,9 @@ def q_lang_id(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from kgpipe.operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", k=2, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        _spread(spark, _docs(spark, sf_dir)), "doc_id", "text", k=2, threshold=0.2
+    )
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -187,7 +200,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # P(match|J=0.3)≈0.12) — wide bands at low thresholds flood the
     # candidate stage with O(n²) pairs
     pairs = minhash_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text",
+        _spread(spark, _docs(spark, sf_dir)), "doc_id", "text",
         num_hashes=64, bands=16, shingle_k=2, jaccard_threshold=0.8,
     )
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
@@ -200,7 +213,7 @@ def q_simhash_pairs(spark, sf_dir):
     # blocking (pigeonhole); simhash_near_pairs raises on anything
     # wider to avoid silently incomplete pair sets
     return simhash_near_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3, shingle_k=2
+        _spread(spark, _docs(spark, sf_dir)), "doc_id", "text", max_hamming=3, shingle_k=2
     )
 
 
@@ -219,7 +232,9 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
     from kgpipe.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=3, stride=50, nprobe=10**6).select(
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), _spread(spark, emb), k=3, stride=50, nprobe=10**6
+    ).select(
         "query_id", "neighbor_id", "rank", F.round("score", 4).alias("score")
     )
 
@@ -230,9 +245,9 @@ def q_ann_ivf(spark, sf_dir):
     from kgpipe.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb.where(F.col("vec_id") < 50), emb, k=3, stride=50, nprobe=3).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), _spread(spark, emb), k=3, stride=50, nprobe=3
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_extract_html(spark, sf_dir):
@@ -375,6 +390,105 @@ def q_cube_orders(spark, sf_dir):
     )
 
 
+def q_string_funcs(spark, sf_dir):
+    """String-function surface over a real table, oracle-gated:
+    case, length, substring, concat, padding, reverse, split."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_pad"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.split("c_name", "#").getItem(1).alias("name_num"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+    )
+
+
+def q_date_funcs(spark, sf_dir):
+    """Calendar-function surface over the orders timestamps."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since"),
+    )
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array-function surface over the embedding column (the shape
+    every vector pipeline manipulates): size, extrema, slicing,
+    ordered folds."""
+    e = _emb(spark, sf_dir)
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(vec), 4).alias("vmax"),
+        F.round(F.array_min(vec), 4).alias("vmin"),
+        F.round(F.element_at(vec, 1), 4).alias("first"),
+        F.round(
+            F.aggregate(F.slice(vec, 1, 4), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head_sum"),
+        F.round(F.element_at(F.array_sort(vec), 3), 4).alias("third_smallest"),
+    )
+
+
+def q_json_funcs(spark, sf_dir):
+    """JSON-function surface over the events props column (real JSON
+    strings): path extraction and typed parse."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_extracted"),
+        F.from_json("props", "k long").getField("k").alias("k_parsed"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"),
+    )
+
+
+def q_window_funcs(spark, sf_dir):
+    """Window-function surface beyond row_number: lag/lead, rank with
+    ties, dense_rank, cumulative aggregates, ntile."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.rank().over(wv).alias("value_rank"),
+        F.dense_rank().over(wv).alias("value_dense_rank"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias("cum_value"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_orders_set_algebra(spark, sf_dir):
+    """Distinct set algebra (INTERSECT / EXCEPT) on top of the
+    semi/anti joins covered by customer_set_ops."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        a.intersect(b).withColumn("bucket", F.lit("both"))
+        .union(a.subtract(b).withColumn("bucket", F.lit("open_only")))
+        .union(b.subtract(a).withColumn("bucket", F.lit("filled_only")))
+    )
+
+
 def q_customer_set_ops(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -427,6 +541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "events_agg": q_events_agg,
         "customer_set_ops": q_customer_set_ops,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "array_funcs": q_array_funcs,
+        "json_funcs": q_json_funcs,
+        "window_funcs": q_window_funcs,
+        "orders_set_algebra": q_orders_set_algebra,
         "asof_click_view": q_asof_click_view,
         "sessionize_events": q_sessionize_events,
         "rollup_orders": q_rollup_orders,
@@ -599,6 +719,72 @@ def oracle_sql() -> dict[str, str]:
             union all
             select c_custkey, false as has_orders from customer
             where c_custkey not in (select o_custkey from orders)
+        """,
+        "string_funcs": """
+            select c_custkey,
+                   upper(c_mktsegment) as seg_upper,
+                   lower(c_name) as name_lower,
+                   length(c_name) as name_len,
+                   substr(c_name, 1, 8) as name_prefix,
+                   concat_ws('|', c_mktsegment, cast(c_custkey as varchar)) as seg_key,
+                   lpad(cast(c_custkey as varchar), 10, '0') as key_pad,
+                   reverse(c_mktsegment) as seg_rev,
+                   string_split(c_name, '#')[2] as name_num,
+                   replace(c_name, 'Customer', 'Cust') as name_short
+            from customer
+        """,
+        "date_funcs": """
+            select o_orderkey,
+                   year(o_orderdate) as yr,
+                   quarter(o_orderdate) as qtr,
+                   month(o_orderdate) as mon,
+                   day(o_orderdate) as dom,
+                   date_trunc('month', o_orderdate) as month_start,
+                   last_day(o_orderdate::date) as month_end,
+                   datediff('day', date '1995-01-01', o_orderdate::date) as days_since
+            from orders
+        """,
+        "array_funcs": """
+            with v as (
+              select vec_id, embedding::DOUBLE[] as e from embeddings
+            )
+            select vec_id,
+                   len(e) as dim,
+                   round(list_max(e), 4) as vmax,
+                   round(list_min(e), 4) as vmin,
+                   round(e[1], 4) as first,
+                   round(e[1] + e[2] + e[3] + e[4], 4) as head_sum,
+                   round(list_sort(e)[3], 4) as third_smallest
+            from v
+        """,
+        "json_funcs": """
+            select event_id,
+                   json_extract(props, '$.k')::BIGINT as k_extracted,
+                   json_extract(props, '$.k')::BIGINT as k_parsed,
+                   json_extract(props, '$.k')::BIGINT % 10 as k_mod
+            from events
+        """,
+        "window_funcs": """
+            select user_id, event_id,
+                   round(lag(value) over w, 4) as prev_value,
+                   round(lead(value) over w, 4) as next_value,
+                   rank() over wv as value_rank,
+                   dense_rank() over wv as value_dense_rank,
+                   round(sum(value) over (partition by user_id order by ts, event_id
+                                          rows between unbounded preceding and current row), 4) as cum_value,
+                   ntile(4) over w as quartile
+            from events
+            window w as (partition by user_id order by ts, event_id),
+                   wv as (partition by user_id order by value desc, event_id)
+        """,
+        "orders_set_algebra": """
+            with a as (select o_custkey from orders where o_orderstatus = 'O'),
+                 b as (select o_custkey from orders where o_orderstatus = 'F')
+            select o_custkey, 'both' as bucket from (select * from a intersect select * from b)
+            union all
+            select o_custkey, 'open_only' as bucket from (select * from a except select * from b)
+            union all
+            select o_custkey, 'filled_only' as bucket from (select * from b except select * from a)
         """,
         "asof_click_view": """
             with l as (

@@ -101,17 +101,27 @@ def bench_queries(spark, sf_dir: str) -> dict:
 
     # bulk parse+abbrev throughput over constructed NT lines — the
     # apples-to-apples comparison with the reference's `-a -j` mode
-    # (BASELINE.md: 120-158k triples/s)
-    lines = _nt_lines_from_lineitem(spark, sf_dir)
+    # (BASELINE.md: 120-158k triples/s). convert_bulk is the product
+    # path for NT input (kgpipe convert): ONE fused Python stage,
+    # reference rewrite order; the chained parse→abbrev variant is
+    # kept for comparison.
+    from kgpipe.convert import convert_nt_lines
+
+    lines = _nt_lines_from_lineitem(spark, sf_dir).withColumnRenamed("line", "value")
     n_lines = lines.count()
     rules = parse_rules(RULES_16_TEXT)
-    run("parse_bulk", lambda: parse_lines_to_triples(lines).where(F.col("s").isNotNull()).count())
+    run("parse_bulk", lambda: parse_lines_to_triples(lines, "value").where(F.col("s").isNotNull()).count())
     run(
         "parse_abbrev_bulk",
         lambda: abbreviate_columns(
-            parse_lines_to_triples(lines).where(F.col("s").isNotNull()),
+            parse_lines_to_triples(lines, "value").where(F.col("s").isNotNull()),
             ["s", "p", "o"], rules, mode="lpm",
         ).count(),
+    )
+    run(
+        "convert_bulk",
+        lambda: convert_nt_lines(lines, rules, mode="compat")
+        .where(F.col("error").isNull()).count(),
     )
     timings["__n_bulk_lines"] = n_lines
 
@@ -159,6 +169,8 @@ def main() -> None:
             "pipeline_edges": pipe["n_edges"],
             "triples_per_sec": round(pipe["triples_per_sec"], 1),
             "parse_abbrev_lines_per_sec": round(n_bulk / timings["parse_abbrev_bulk"], 1),
+            # the `kgpipe convert` fused path — ntto's actual job shape
+            "convert_lines_per_sec": round(n_bulk / timings["convert_bulk"], 1),
         }
         print(json.dumps(out))
     finally:

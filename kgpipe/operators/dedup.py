@@ -77,7 +77,13 @@ def minhash_dup_pairs(
     exact shingle Jaccard ≥ threshold."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = word_shingles(F.col(text_col), shingle_k)
+    # verification compares shingle SETS; hashing each gram to a long
+    # first makes the array_intersect/union per candidate pair ~10×
+    # cheaper than string comparisons, with identical Jaccard (a
+    # 64-bit collision within one doc's ~10²-gram set is ~2⁻⁵⁰)
+    sh = F.array_distinct(
+        F.transform(word_shingles(F.col(text_col), shingle_k), lambda g: F.xxhash64(g))
+    )
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     sig = minhash_signature(F.col("sh"), num_hashes)
     banded = banded_rows(base, "id", sig, bands, r)

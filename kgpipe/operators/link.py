@@ -132,6 +132,22 @@ def capped_buckets(banded: DataFrame, max_bucket: int, *aggs) -> DataFrame:
     return capped.groupBy("band", "bh").agg(*aggs)
 
 
+def bucket_stats(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Observability for the recall budget (SURVEY.md §6 P/R ≥ 0.95):
+    one row of bucket-population stats — how many buckets exist, how
+    many are singletons (generate no pairs), how many the cap DROPS,
+    and how many ids sit inside dropped buckets (the upper bound on
+    pairs lost to the skew guard)."""
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_singleton"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0)).alias("ids_in_dropped"),
+        F.max("n").alias("max_bucket_size"),
+    )
+
+
 def _pairs_from_sorted_array(arr: Column) -> Column:
     """All (a, b) with a < b from a sorted-distinct array — bounded
     by the bucket cap, computed JVM-side."""
@@ -159,8 +175,8 @@ def lsh_candidate_pairs(
     """→ (a, b) candidate pairs with a < b, from banded minhash.
 
     bands must divide num_hashes; rows per band r = num_hashes/bands.
-    Buckets larger than max_bucket are dropped (skew guard; the drop
-    count is available via the `lsh_bucket_stats` helper).
+    Buckets larger than max_bucket are dropped (skew guard; quantify
+    the recall cost with `bucket_stats` over the same banded rows).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands

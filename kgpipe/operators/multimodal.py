@@ -2,14 +2,18 @@
 columns with typed metadata.
 
 The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning — is real and tested. The codec step itself
-is STUBBED: this container has no image/audio libraries, so decoding
-routes to either a clearly-marked NotImplementedError (strict mode)
-or a deterministic fake decoder (a pure function of the payload
-bytes) that keeps every downstream contract testable.
+signatures, partitioning — is real and tested. Decoding has three
+tiers:
 
-Swap `_decode_image_real` in when PIL/ffmpeg exist; nothing else
-changes — that function is the only seam.
+  * REAL for uncompressed raster formats: PPM (P6) and BMP (24bpp
+    BI_RGB) decode in pure numpy — no codec library needed — and feed
+    a real average-hash (8×8 block-mean aHash) plus per-channel
+    moment features.
+  * UNAVAILABLE for compressed formats (JPEG/PNG/video): this
+    container has no PIL/ffmpeg, so those raise DecoderUnavailable —
+    `_decode_compressed` is the one seam to swap when codecs exist.
+  * FAKE (fake=True): a deterministic pure function of the payload
+    bytes, for exercising downstream plumbing with arbitrary binary.
 """
 
 from __future__ import annotations
@@ -33,15 +37,114 @@ FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_phash long"
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised in strict mode: no real codec library in this image."""
+    """Raised for formats that need a codec library absent here."""
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - no codec libs here
-    raise DecoderUnavailable(
-        "real image decoding requires PIL/libvips; not present in this "
-        "container. Use fake=True (deterministic fake decoder) or install "
-        "a codec and replace this seam."
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → HxWx3 uint8. Header: 'P6' <w> <h> <maxval>,
+    whitespace/comment separated, then raw RGB rows."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise DecoderUnavailable("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24bpp BMP (BI_RGB) → HxWx3 uint8 (RGB order,
+    top-down). Rows are 4-byte aligned and stored bottom-up when the
+    header height is positive."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+
+    def u32(off):
+        return int.from_bytes(payload[off : off + 4], "little")
+
+    def s32(off):
+        return int.from_bytes(payload[off : off + 4], "little", signed=True)
+
+    data_off = u32(10)
+    w, h_signed = s32(18), s32(22)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = u32(30)
+    if bpp != 24 or compression != 0:
+        raise DecoderUnavailable(f"BMP bpp={bpp} compression={compression} needs a codec lib")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage
+    return img[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _ahash64(img: np.ndarray) -> int:
+    """Real perceptual average-hash: gray → 8×8 block means →
+    sign-vs-mean bit per block, packed MSB-first into a signed i64."""
+    gray = img.astype(np.float32).mean(axis=2)
+    h, w = gray.shape
+    if h < 8:
+        gray = np.repeat(gray, -(-8 // h), axis=0)
+    if w < 8:
+        gray = np.repeat(gray, -(-8 // w), axis=1)
+    blocks = np.array(
+        [[b.mean() for b in np.array_split(row_band, 8, axis=1)]
+         for row_band in np.array_split(gray, 8, axis=0)]
     )
+    bits = (blocks >= blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _features(img: np.ndarray) -> np.ndarray:
+    """8 floats: per-channel mean and std (normalized to [0,1]),
+    aspect ratio, and gray dynamic range."""
+    f = img.astype(np.float32) / 255.0
+    gray = f.mean(axis=2)
+    return np.array(
+        [*f.mean(axis=(0, 1)), *f.std(axis=(0, 1)),
+         img.shape[1] / img.shape[0], float(gray.max() - gray.min())],
+        dtype=np.float32,
+    )
+
+
+def _decode_compressed(payload: bytes):  # pragma: no cover - codec seam
+    raise DecoderUnavailable(
+        "JPEG/PNG decoding requires PIL/libvips; not present in this "
+        "container. Supported codec-free: PPM (P6), BMP (24bpp). "
+        "Swap this seam when a codec library exists."
+    )
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Codec-free decode for uncompressed rasters; the compressed
+    branch is the library seam."""
+    if payload.startswith(b"P6"):
+        img = _decode_ppm(payload)
+    elif payload.startswith(b"BM"):
+        img = _decode_bmp(payload)
+    else:
+        return _decode_compressed(payload)
+    return img.shape[1], img.shape[0], _ahash64(img), _features(img)
 
 
 def _decode_image_fake(payload: bytes) -> tuple[int, int, int, np.ndarray]:
@@ -62,6 +165,10 @@ def _decode_image_fake(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 def decode_image_features(media_df, fake: bool = True):
     """media(media_id, media_type, payload, meta) →
     (media_id, width, height, n_bytes, phash, features).
+
+    fake=False decodes REAL rasters (PPM/BMP codec-free; compressed
+    formats raise DecoderUnavailable until a codec lib exists);
+    fake=True runs the deterministic fake over arbitrary binary.
 
     mapInPandas: Arrow batches of binary payloads in, fixed-width
     feature rows out. Non-image rows are filtered JVM-side BEFORE the
@@ -118,6 +225,59 @@ def sample_video_frames(media_df, every_n: int = 10, max_frames: int = 5, fake: 
             yield pd.DataFrame(rows)
 
     return videos.select("media_id", "payload").mapInPandas(_batch, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB) → 24bpp BI_RGB BMP bytes (bottom-up rows,
+    4-byte aligned), the exact layout _decode_bmp reads back."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    bgr = img[:, :, ::-1].astype(np.uint8)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    pixel_data = rows[::-1].tobytes()  # bottom-up
+    data_off = 14 + 40
+    size = data_off + len(pixel_data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0" + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little") + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pixel_data
+
+
+def gen_image_fixture(n: int = 30) -> pd.DataFrame:
+    """Media table whose image payloads are REAL encoded rasters
+    (alternating PPM/BMP), deterministic per row: a gradient tinted
+    by the row index. Exercises the codec-free real decoder
+    end-to-end."""
+    rows = {"media_id": [], "media_type": [], "payload": [], "meta": []}
+    for i in range(n):
+        w, h = 16 + (i % 5) * 8, 12 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                np.full((h, w), (i * 37) % 256, dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        codec = "ppm" if i % 2 == 0 else "bmp"
+        payload = encode_ppm(img) if codec == "ppm" else encode_bmp(img)
+        rows["media_id"].append(i)
+        rows["media_type"].append("image")
+        rows["payload"].append(payload)
+        rows["meta"].append({"src": f"corpus/image/{i}", "codec": codec})
+    return pd.DataFrame(rows)
 
 
 def gen_media_fixture(n: int = 50) -> pd.DataFrame:

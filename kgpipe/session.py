@@ -52,10 +52,11 @@ def get_spark(
         # resume semantics: rewriting a checkpoint partition replaces
         # exactly that partition's files, leaving completed ones intact
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # hash pipelines (minhash double-hashing, fingerprint sums)
-        # rely on two's-complement wraparound; ANSI overflow errors
-        # would reject them
-        .config("spark.sql.ansi.enabled", "false")
+        # NOTE: no spark.sql.ansi override — every operator is written
+        # overflow-free (masked 32-bit hash families, bit_xor set
+        # fingerprints) so results are identical whether the session
+        # owner runs ANSI on (Spark 4 default) or off. Correctness
+        # must never depend on a session conf the caller controls.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # small Arrow batches keep each Python worker's working set
         # cache-resident: at 32 workers, 50k-row batches of html

@@ -96,6 +96,86 @@ def windowed_event_counts(
     )
 
 
+SESSION_OUT_DDL = "user_id long, event_id long, session_seq long"
+SESSION_STATE_DDL = "n_sessions long, last_ts double"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-user session assignment with a gap timeout, state = (session
+    counter, last event time) carried across micro-batches — so a
+    user's numbering continues seamlessly when later files arrive in
+    a later trigger.
+
+    Matches the batch `kgpipe.operators.temporal.sessionize` exactly
+    when events arrive in event-time order (a single AvailableNow
+    batch delivers exactly that, which is how the stream==batch test
+    pins it). The reference has no streaming at all; this is the
+    engine-category operator (SURVEY.md §2b Streaming) in its
+    custom-state form."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = float(gap_minutes) * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n_sessions, last_ts = state.get
+        else:
+            n_sessions, last_ts = 0, None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return  # no new rows: leave state untouched
+        rows = pd.concat(frames).sort_values(["ts", "event_id"])
+        # unit-safe epoch seconds (pandas 2 may carry us-resolution)
+        ts_s = rows["ts"].astype("datetime64[ns]").astype("int64") / 1e9
+        seqs = []
+        for t in ts_s:
+            if last_ts is None or (t - last_ts) > gap_s:
+                n_sessions += 1
+            last_ts = t
+            seqs.append(n_sessions)
+        state.update((n_sessions, float(last_ts)))
+        yield pd.DataFrame(
+            {"user_id": user_id, "event_id": rows["event_id"].values, "session_seq": seqs}
+        )
+
+    src = events.withColumn("ts", F.col("ts").cast("timestamp")).select(
+        "user_id", "ts", "event_id"
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUT_DDL, SESSION_STATE_DDL, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_sessionize_stream(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Drive stateful sessionization over parquet event files
+    (AvailableNow → parquet sink; the memory sink cannot recover
+    from a checkpoint). Re-invoking after new files land processes
+    only them and continues each user's session numbering from the
+    persisted state store. Returns the cumulative output table."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = sessionize_stream(stream, gap_minutes)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def run_windowed_stream(
     spark: SparkSession,
     events_dir: str,

@@ -51,6 +51,19 @@ def test_neardup_clusters_match_golden(spark):
     assert len(set(canon_of_group.values())) == len(canon_of_group), "groups merged"
 
 
+def test_bucket_stats_counts_dropped(spark):
+    from kgpipe.operators.link import bucket_stats
+
+    banded = spark.createDataFrame(
+        # bucket A: 5 ids; bucket B: singleton; bucket C: 2 ids
+        [(i, 0, 100) for i in range(5)] + [(9, 0, 200)] + [(10, 0, 300), (11, 0, 300)],
+        "id long, band int, bh long",
+    )
+    row = bucket_stats(banded, max_bucket=3).collect()[0]
+    assert (row.n_buckets, row.n_singleton, row.n_dropped, row.ids_in_dropped,
+            row.max_bucket_size) == (3, 1, 1, 5, 5)
+
+
 def test_sameas_edges_from_triples(spark):
     triples = spark.createDataFrame(
         [

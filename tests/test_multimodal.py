@@ -1,16 +1,24 @@
-"""Multimodal plumbing: real Spark schemas/batch shapes, stubbed
-codecs (deterministic fake)."""
+"""Multimodal: real Spark schemas/batch shapes; REAL codec-free
+decode for PPM/BMP (pure numpy) with a real average-hash; the
+compressed-format seam raises; fake decoder for arbitrary binary."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from kgpipe.operators.multimodal import (
     MEDIA_SCHEMA,
     DecoderUnavailable,
+    _ahash64,
+    _decode_bmp,
+    _decode_image_real,
+    _decode_ppm,
     decode_image_features,
+    encode_bmp,
+    encode_ppm,
+    gen_image_fixture,
     gen_media_fixture,
     sample_video_frames,
-    _decode_image_real,
 )
 
 
@@ -54,6 +62,51 @@ def test_audio_rows_never_cross_python_boundary(spark, media):
     assert ids.isdisjoint(audio_ids)
 
 
-def test_strict_mode_raises():
+def test_compressed_formats_raise():
     with pytest.raises(DecoderUnavailable):
-        _decode_image_real(b"\x89PNG")
+        _decode_image_real(b"\x89PNG\r\n\x1a\n....")
+
+
+def _gradient(h, w, tint=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 255 // max(w - 1, 1)).astype(np.uint8),
+         (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+         np.full((h, w), tint, dtype=np.uint8)],
+        axis=2,
+    )
+
+
+def test_ppm_and_bmp_roundtrip_pixels():
+    img = _gradient(13, 21, tint=99)  # odd width exercises BMP row padding
+    assert np.array_equal(_decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(_decode_bmp(encode_bmp(img)), img)
+
+
+def test_real_decode_dimensions_and_phash_semantics():
+    img = _gradient(32, 48, tint=10)
+    w, h, ph, feats = _decode_image_real(encode_ppm(img))
+    assert (w, h) == (48, 32)
+    # identical pixels through a DIFFERENT container → identical hash
+    w2, h2, ph2, _ = _decode_image_real(encode_bmp(img))
+    assert (w2, h2, ph2) == (w, h, ph)
+    # a uniform brightness shift barely moves the average-hash...
+    ph3 = _ahash64(np.clip(img.astype(int) + 8, 0, 255).astype(np.uint8))
+    assert bin((ph ^ ph3) & ((1 << 64) - 1)).count("1") <= 8
+    # ...while an unrelated image is far away
+    ph4 = _ahash64(_gradient(32, 48, tint=10)[::-1, ::-1].copy())
+    assert bin((ph ^ ph4) & ((1 << 64) - 1)).count("1") > 8
+    assert len(feats) == 8 and 0.0 <= feats[0] <= 1.0
+
+
+def test_real_decoder_through_spark(spark):
+    media = spark.createDataFrame(gen_image_fixture(30), schema=MEDIA_SCHEMA)
+    rows = decode_image_features(media, fake=False).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.width >= 16 and r.height >= 12 and len(r.features) == 8
+    # determinism across parallelism, same contract as the fake path
+    rows2 = decode_image_features(media.repartition(5), fake=False).collect()
+    assert sorted((r.media_id, r.phash) for r in rows2) == sorted(
+        (r.media_id, r.phash) for r in rows
+    )

@@ -70,6 +70,36 @@ def test_minhash_signature_is_jvm_side(spark, sf_dir):
     assert "Python" not in plan and "MapInPandas" not in plan
 
 
+def test_ivf_assignment_no_shuffle(spark, sf_dir):
+    """Cluster assignment must be a narrow fold over the centroid
+    literal — no Exchange between the corpus scan and cluster_id
+    (the crossJoin+window version shuffled N×C rows)."""
+    from kgpipe.operators.similarity import assign_clusters, deterministic_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = deterministic_centroids(emb, stride=50)
+    plan = _plan(assign_clusters(emb, cents))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure Catalyst, no UDF
+
+
+def test_capped_buckets_single_exchange(spark):
+    """The pre-materialization cap (window count) and the bucket agg
+    hash-partition on the same keys → exactly one Exchange, and the
+    collect_list only runs on rows that survived the cap."""
+    from kgpipe.operators.link import capped_buckets
+
+    banded = spark.createDataFrame(
+        [(i, i % 3, i % 5) for i in range(100)], "id long, band int, bh long"
+    )
+    plan = _plan(capped_buckets(banded, 16, F.collect_list("id").alias("ids")))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # top-down plan order: aggregate(collect_list) above the size
+    # filter, which is above the Window that computes __n
+    assert plan.index("collect_list") < plan.index("Window")
+    assert "__n" in plan
+
+
 def test_canonicalize_broadcasts_map(spark):
     from kgpipe.operators.materialize import canonicalize_triples
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from kgpipe.fixtures import RULES_16_TEXT, gen_pages
 from kgpipe.streaming import (
     incremental_triples,
+    run_sessionize_stream,
     run_windowed_stream,
     windowed_event_counts,
 )
@@ -50,6 +51,64 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
         (r.s, r.p, r.o) for r in spark.read.parquet(clean_out).where(F.col("s").isNotNull()).collect()
     )
     assert got == exp
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): one
+    AvailableNow batch delivers events in order per group, so the
+    stream must equal the batch sessionizer exactly."""
+    import shutil
+
+    from kgpipe.operators.temporal import sessionize
+
+    events_dir = str(tmp_path / "sev")
+    os.makedirs(events_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", events_dir)
+    streamed = run_sessionize_stream(
+        spark, events_dir, str(tmp_path / "sout"), str(tmp_path / "sck")
+    )
+    batch = sessionize(
+        spark.read.parquet(events_dir).select("user_id", "ts", "event_id"),
+        gap_minutes=30, tiebreak_col="event_id",
+    )
+    got = {(r.user_id, r.event_id, r.session_seq) for r in streamed.collect()}
+    exp = {(r.user_id, r.event_id, int(r.session_seq)) for r in batch.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """New files in a later trigger continue each user's numbering
+    from the persisted state store — the stateful analogue of
+    exactly-once resume."""
+    from pyspark.sql import Row
+
+    events_dir = str(tmp_path / "sev2")
+    out_dir = str(tmp_path / "sout2")
+    ckpt = str(tmp_path / "sck2")
+
+    def ev(eid, user, ts):
+        return Row(event_id=eid, ts=ts, user_id=user, event_type="x", value=1.0, props="{}")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    spark.createDataFrame([
+        ev(1, 7, t0), ev(2, 7, t0 + 5 * m),           # session 1
+        ev(3, 7, t0 + 120 * m),                        # session 2 (gap > 30m)
+    ]).write.mode("append").parquet(events_dir)
+    first = run_sessionize_stream(spark, events_dir, out_dir, ckpt)
+    got1 = {(r.event_id, r.session_seq) for r in first.collect()}
+    assert got1 == {(1, 1), (2, 1), (3, 2)}
+
+    # later file: one event inside session 2's gap, one far beyond
+    spark.createDataFrame([
+        ev(4, 7, t0 + 125 * m),                        # still session 2
+        ev(5, 7, t0 + 600 * m),                        # session 3
+    ]).write.mode("append").parquet(events_dir)
+    second = run_sessionize_stream(spark, events_dir, out_dir, ckpt)
+    got2 = {(r.event_id, r.session_seq) for r in second.collect()}
+    assert got2 == got1 | {(4, 2), (5, 3)}, "state must carry session counter and last_ts"
 
 
 def test_windowed_stream_matches_batch(spark, tmp_path, sf_dir):
