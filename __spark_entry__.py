@@ -147,7 +147,9 @@ def q_sameas_canonical(spark, sf_dir):
 def q_exact_dedup_docs(spark, sf_dir):
     from kgpipe.operators.dedup import distinct_documents
 
-    return distinct_documents(_docs(spark, sf_dir), "doc_id", "text").select("doc_id")
+    return distinct_documents(
+        _spread(spark, _docs(spark, sf_dir)), "doc_id", "text"
+    ).select("doc_id")
 
 
 def q_doc_fingerprints(spark, sf_dir):

@@ -74,7 +74,13 @@ def bench_pipeline(spark, sf_dir: str, n_pages: int) -> dict:
 
 
 def _nt_lines_from_lineitem(spark, sf_dir: str):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # the testdata parquet is a single row group → ONE input split no
+    # matter the session conf (row groups don't split); repartition so
+    # the bulk-parse benchmark measures the operators, not one core.
+    # Real corpora arrive as many files/row groups and split naturally.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     line = F.concat(
         F.lit("<http://ex.org/order/"), F.col("l_orderkey").cast("string"),
         F.lit("/"), F.col("l_linenumber").cast("string"),
