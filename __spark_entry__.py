@@ -160,6 +160,16 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnowing_fps(spark, sf_dir):
+    """Rolling-hash (winnowing) fingerprints — the partial-overlap
+    detector; oracle reproduces the md5-hex window-min exactly."""
+    from kgpipe.operators.textops import winnowing_fingerprint_rows
+
+    return winnowing_fingerprint_rows(
+        _spread(spark, _docs(spark, sf_dir)), "doc_id", "text", k=8, w=4
+    )
+
+
 def q_token_counts(spark, sf_dir):
     from kgpipe.operators.textops import token_count, whitespace_token_count
 
@@ -528,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sameas_canonical": q_sameas_canonical,
         "exact_dedup_docs": q_exact_dedup_docs,
         "doc_fingerprints": q_doc_fingerprints,
+        "winnowing_fps": q_winnowing_fps,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -616,6 +627,23 @@ def oracle_sql() -> dict[str, str]:
             select doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fingerprint
             from documents
+        """,
+        "winnowing_fps": r"""
+            with t as (
+              select doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) as norm
+              from documents
+            ), h as (
+              select doc_id,
+                     list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                                    i -> md5(substr(norm, i, 8))) as hs
+              from t
+            )
+            select distinct doc_id, fp from (
+              select doc_id,
+                     unnest(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                           j -> list_min(hs[j:j+3]))) as fp
+              from h
+            )
         """,
         "token_counts": """
             select doc_id,

@@ -85,3 +85,37 @@ def doc_fingerprint(text: Column) -> Column:
     whitespace-normalized, lowercased text. Exact-dedup key."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+def winnowing_fingerprint_rows(df, id_col: str, text_col: str, k: int = 8, w: int = 4):
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS fingerprinter): hash
+    every char k-gram of the normalized text, slide a w-window over
+    the hash sequence, keep each window's minimum. Guarantee: any two
+    documents sharing a substring of length ≥ k+w-1 share at least
+    one fingerprint — the partial-overlap detector that exact md5
+    (whole-doc) cannot provide. → (id, fp) rows, distinct per doc.
+
+    Engine-portable by construction: the 'hash' is the md5 HEX STRING
+    and window-min is lexicographic, so a DuckDB oracle reproduces it
+    exactly. Plan shape: the k-gram hash array materializes in a
+    Project directly under the Generate (posexplode), so it is
+    evaluated once per row — never inlined into the per-window lambda
+    (which would make it O(n²) per document, same trap as the LSH
+    band hashes)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(norm.substr(i, F.lit(k)))
+    )
+    hashed = df.select(F.col(id_col), hashes.alias("__h"))
+    n_win = F.greatest(F.size("__h") - (w - 1), F.lit(1))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(F.col("__h"), j, w)),
+        )
+    )
+    return hashed.select(id_col, F.explode(mins).alias("fp"))

@@ -74,3 +74,38 @@ def test_whitespace_token_count(spark):
     df = spark.createDataFrame([("a  b\tc",), ("one",)], ["text"])
     got = [r.n for r in df.select(whitespace_token_count(F.col("text")).alias("n")).collect()]
     assert got == [3, 1]
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Winnowing guarantee: substrings of length >= k+w-1 shared by
+    two documents always share a fingerprint (k=8, w=4 -> 11)."""
+    from kgpipe.operators.textops import winnowing_fingerprint_rows
+
+    shared = "this exact run of words appears in both documents verbatim"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one. " + shared + " suffix alpha"),
+            (2, "totally different lead-in text " + shared),
+            (3, "no overlap with the others at all, entirely disjoint words"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprint_rows(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    # distinct fingerprints per doc (array_distinct applied)
+    assert len(by_doc[1]) == len({f for f in by_doc[1]})
+
+
+def test_winnowing_position_count_bound(spark):
+    """Every w-window contributes a fingerprint, so a doc of n grams
+    yields between ceil(n/w) and n distinct fingerprints at most."""
+    from kgpipe.operators.textops import winnowing_fingerprint_rows
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 4
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n = len(text) - 7
+    got = winnowing_fingerprint_rows(df, "doc_id", "text", k=8, w=4).count()
+    assert 1 <= got <= n

@@ -109,7 +109,7 @@ def main() -> None:
     best = {c: max(rs, key=lambda r: r["tps"]) for c, rs in results.items()}
     eff = best[hi]["tps"] / ((hi / lo) * best[lo]["tps"])
     section = [
-        "\n## Narrow-stage scaling probe (compute-dominated)\n",
+        f"\n## Narrow-stage scaling probe (compute-dominated) — local[{lo}] vs local[{hi}]\n",
         f"\nFused extract→parse→abbreviate over {args.pages:,} synthetic pages",
         f" ({best[lo]['triples']:,} clean triples), write included, load-gated",
         f" best-of-{args.repeats} per level:\n\n",

@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--append", action="store_true",
+                    help="append this level pair as a section instead of rewriting the file")
     args = ap.parse_args()
 
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -71,11 +73,16 @@ def main() -> None:
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, "w") as f:
-        f.write(f"""# kgpipe scaling evidence — sandbox two-cluster-size protocol
-
+    mode = "a" if args.append else "w"
+    title = (
+        f"\n\n# Additional level pair — local[{lo}] vs local[{hi}]\n"
+        if args.append
+        else "# kgpipe scaling evidence — sandbox two-cluster-size protocol\n"
+    )
+    with open(path, mode) as f:
+        f.write(f"""{title}
 Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by
-`python tools/scaling_report.py --sf-dir {args.sf_dir} --repeats {args.repeats}`.
+`python tools/scaling_report.py --sf-dir {args.sf_dir} --repeats {args.repeats} --levels {args.levels}`.
 Same job, same input (seed 42), two parallelism levels on one host
 (BASELINE.md sandbox protocol: local[{lo}] stands in for N executors,
 local[{hi}] for {hi//lo}N). Best of {args.repeats} runs per level; each run is gated on
