@@ -262,6 +262,37 @@ def q_ann_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_emb_neardup_exact(spark, sf_dir):
+    """Embedding-cosine near-dup, exact path: all pairs ≥ threshold
+    (oracle = DuckDB cross-join cosine). Threshold sits inside the
+    synthetic corpus's similarity range so the gate checks real
+    pairs, not an empty set."""
+    from kgpipe.operators.similarity import cosine_pairs_exact
+
+    return cosine_pairs_exact(_spread(spark, _emb(spark, sf_dir)), threshold=0.4)
+
+
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup, LSH scale path (random-hyperplane
+    signatures, banded buckets, exact-cosine verification). The
+    corpus is augmented with exact duplicates (vec_id + 100000), so
+    the expected pair set is closed-form: identical vectors share
+    every band (deterministic recall 1.0) and nothing else in the
+    synthetic data reaches cos 0.95 — giving this LSH query a real
+    value oracle instead of a rows-only check."""
+    from kgpipe.operators.similarity import cosine_neardup_pairs
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    # 8-bit bands: 256 bucket values per band keeps buckets ~n/256
+    # (well under the cap); identical vectors share every band, so
+    # recall for the oracle's pair set is deterministic
+    return cosine_neardup_pairs(
+        _spread(spark, emb.union(dup)),
+        threshold=0.95, n_bits=32, n_bands=4,
+    )
+
+
 def q_extract_html(spark, sf_dir):
     """Real HTML extractor over synthesized pages; oracle constructs
     the expected text directly from the template."""
@@ -548,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_ivf": q_ann_ivf,
+        "emb_neardup_exact": q_emb_neardup_exact,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "extract_html": q_extract_html,
         "lineitem_agg": q_lineitem_agg,
         "revenue_by_nation": q_revenue_by_nation,
@@ -708,6 +741,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_bruteforce": _ANN_ORACLE,
         "ann_ivf_fullprobe": _ANN_ORACLE,
+        "emb_neardup_exact": """
+            with v as (
+              select vec_id, embedding::DOUBLE[] as e from embeddings
+            )
+            select a.vec_id as a, b.vec_id as b,
+                   round(list_cosine_similarity(a.e, b.e), 6) as cos
+            from v a join v b on a.vec_id < b.vec_id
+            where round(list_cosine_similarity(a.e, b.e), 6) >= 0.4
+        """,
+        "emb_neardup_lsh": """
+            select vec_id as a, vec_id + 100000 as b, cast(1.0 as double) as cos
+            from embeddings
+        """,
         "extract_html": """
             select doc_id, 'Doc ' || cast(doc_id as varchar) || chr(10) || trim(text) as text
             from documents where length(trim(text)) > 0

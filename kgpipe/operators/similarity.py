@@ -120,6 +120,103 @@ def _centroid_rank_structs(vec: Column, cent_arr: Column) -> Column:
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """→ (a, b, cos) for ALL pairs with cosine ≥ threshold, a < b.
+    O(N²) by definition — the exact/oracle path of embedding near-dup
+    dedup; cosine_neardup_pairs is the bucketed scale path."""
+    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        l.crossJoin(r)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, n_bits: int = 16, seed: int = 7
+) -> Column:
+    """array<int> of sign bits from deterministic pseudo-random
+    hyperplanes (Charikar SimHash for real vectors): plane i's d-th
+    component is xxhash64(i, d, seed) mapped to [-1, 1), so executors
+    regenerate identical planes with no broadcast and no RNG state.
+    Pure codegen fold: n_bits × dim hash+multiply per row, no UDF.
+    Two vectors at angle θ disagree on each bit with prob θ/π."""
+    m = F.lit(1_000_003).cast("long")  # prime modulus for the unit map
+    vd = vec.cast("array<double>")
+
+    def plane_dot(i: Column) -> Column:
+        # dot(vec, plane_i) via an indexed fold over the dimensions
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(vd, d + 1)
+            * ((F.pmod(F.xxhash64(i, d, F.lit(seed)), m) * 2.0 / m) - 1.0),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda i: F.when(plane_dot(i) >= 0, 1).otherwise(0),
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    n_bands: int = 8,
+    max_bucket: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: random-hyperplane LSH
+    candidates (band the sign signature, bucket-join — never the
+    O(N²) pair space) verified by EXACT cosine ≥ threshold. Output ⊆
+    cosine_pairs_exact; recall follows the banding collision prob
+    ((1-θ/π)^(bits/band) per band). Bucket caps enforced before
+    materialization (kgpipe.operators.link.capped_buckets)."""
+    from kgpipe.operators.link import (
+        _pairs_from_sorted_array,
+        capped_buckets,
+    )
+
+    assert n_bits % n_bands == 0
+    r = n_bits // n_bands
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    sig = hyperplane_signature(F.col("v"), dim, n_bits, seed)
+    # signature materialized under the Generate (same inlining trap as
+    # the minhash bands — see link.banded_rows)
+    sigd = base.select("id", sig.alias("__sig"))
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda j: F.xxhash64(F.slice(F.col("__sig"), j * r + 1, r), j),
+    )
+    banded = sigd.select("id", F.posexplode(band_hashes).alias("band", "bh"))
+    buckets = capped_buckets(banded, max_bucket, F.collect_list("id").alias("ids"))
+    ids = F.array_sort(F.array_distinct(F.col("ids")))
+    cand = (
+        buckets.select(F.explode(_pairs_from_sorted_array(ids)).alias("pr"))
+        .select("pr.a", "pr.b")
+        .distinct()
+    )
+    la = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    lb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(la, "a").join(lb, "b")
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: DataFrame,

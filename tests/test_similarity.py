@@ -61,3 +61,31 @@ def test_ivf_partial_probe_recall(spark, emb):
     recall = hits / len(exact_nn)
     assert recall >= 0.3, f"IVF top-1 recall {recall} below searched fraction"
     assert set(approx_nn) == set(exact_nn)
+
+
+def test_cosine_neardup_lsh_subset_of_exact(spark):
+    """LSH output must be a subset of the exact pair set (verification
+    is exact cosine), and must achieve full recall on planted
+    near-duplicates with generous banding."""
+    import numpy as np
+
+    from kgpipe.operators.similarity import cosine_neardup_pairs, cosine_pairs_exact
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup: tiny perturbation -> cosine ~0.9998
+        rows.append((i + 100, [float(x) for x in (v + 0.01 * rng.randn(16))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.a, r.b) for r in cosine_pairs_exact(df, threshold=0.95).collect()}
+    lsh = {(r.a, r.b) for r in cosine_neardup_pairs(
+        df, threshold=0.95, n_bits=32, n_bands=16, max_bucket=64
+    ).collect()}
+    assert lsh <= exact
+    planted = {(i, i + 100) for i in range(20)}
+    assert planted <= exact
+    # 16 bands of 2 bits at cos>=0.95: P(miss) ~ (1-0.81)^16 ~ 3e-12
+    assert planted <= lsh
