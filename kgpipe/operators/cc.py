@@ -109,6 +109,12 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # materialize the input ONCE before iterating: round 1 references
+    # e twice (symmetrization), and without this the entire upstream
+    # edge derivation (scans, distincts, normalization) recomputes
+    # per reference — measured as the bulk of round-1 latency.
+    # MEMORY_AND_DISK storage, so huge edge sets spill, not OOM.
+    e = e.localCheckpoint(eager=True)
     prev_fp = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))

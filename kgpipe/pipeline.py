@@ -200,6 +200,11 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     else:
         edges = explicit
 
+    # materialize the linked edge set once: it is consumed three ways
+    # (node universe, CC symmetrization, star-forest extraction), and
+    # each reference would otherwise recompute the full normalize +
+    # distinct derivation from the triples scan
+    edges = edges.localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("uri")).union(
         edges.select(F.col("dst").alias("uri"))
     )
