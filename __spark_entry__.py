@@ -532,6 +532,24 @@ def q_orders_set_algebra(spark, sf_dir):
     )
 
 
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS + grouping_id — the generalization
+    rollup/cube are sugar for; completes the multi-dimensional agg
+    surface."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def q_customer_set_ops(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -593,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": q_json_funcs,
         "window_funcs": q_window_funcs,
         "orders_set_algebra": q_orders_set_algebra,
+        "grouping_sets_orders": q_grouping_sets_orders,
         "asof_click_view": q_asof_click_view,
         "sessionize_events": q_sessionize_events,
         "rollup_orders": q_rollup_orders,
@@ -891,6 +910,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(is_new) over (partition by user_id order by ts, event_id
                                      rows between unbounded preceding and current row) as bigint) as session_seq
             from flags
+        """,
+        "grouping_sets_orders": """
+            select o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) as revenue,
+                   count(*) as n,
+                   grouping(o_orderstatus, o_orderpriority) as gid
+            from orders
+            group by grouping sets ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
         "rollup_orders": """
             select o_orderpriority, o_orderstatus,

@@ -13,7 +13,11 @@ Layout:
     kgpipe.operators  — Spark operators: extract, parse, abbrev,
                         link, connected components, materialize,
                         dedup, similarity, textops, multimodal
+    kgpipe.convert    — NT lines → abbreviated triples in one fused
+                        stage (the reference's primary -a -j job)
     kgpipe.pipeline   — stage orchestration with checkpoint/resume
+    kgpipe.streaming  — incremental ingest, watermarked windows,
+                        stateful sessionization
     kgpipe.fixtures   — deterministic synthetic corpora (seed 42)
     kgpipe.session    — SparkSession factory
     kgpipe.io         — table-format shim (Parquet default)

@@ -37,7 +37,10 @@ def _load_rules(path: str | None) -> str:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import kgpipe
+
     ap = argparse.ArgumentParser(prog="kgpipe")
+    ap.add_argument("--version", action="version", version=kgpipe.__version__)
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     cv = sub.add_parser("convert", help="NT file → abbreviated LDJ/NT (ntto's primary job)")

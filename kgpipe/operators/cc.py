@@ -113,8 +113,16 @@ def connected_components(
     # e twice (symmetrization), and without this the entire upstream
     # edge derivation (scans, distincts, normalization) recomputes
     # per reference — measured as the bulk of round-1 latency.
-    # MEMORY_AND_DISK storage, so huge edge sets spill, not OOM.
-    e = e.localCheckpoint(eager=True)
+    # persist + count rather than localCheckpoint: checkpointing a
+    # complex plan (windows + unions, e.g. the LSH linker's) trips a
+    # Spark attribute-resolution bug ("key not found: src#N"), and
+    # lineage truncation is already handled by the per-round
+    # checkpoints. MEMORY_AND_DISK → spills, not OOM.
+    from pyspark.storagelevel import StorageLevel
+
+    e0 = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e0.count()
+    e = e0
     prev_fp = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))
@@ -126,6 +134,7 @@ def connected_components(
         prev_fp = fp
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    e0.unpersist(blocking=False)
 
     # at the fixed point the edge set is a star forest: (node → root)
     members = e.select(F.col("src").alias("uri"), F.col("dst").alias("canon_id"))

@@ -203,8 +203,13 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     # materialize the linked edge set once: it is consumed three ways
     # (node universe, CC symmetrization, star-forest extraction), and
     # each reference would otherwise recompute the full normalize +
-    # distinct derivation from the triples scan
-    edges = edges.localCheckpoint(eager=True)
+    # distinct derivation from the triples scan. persist, not
+    # localCheckpoint — checkpointing window-bearing plans (the LSH
+    # linker path) trips a Spark attribute-resolution bug.
+    from pyspark.storagelevel import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     nodes = edges.select(F.col("src").alias("uri")).union(
         edges.select(F.col("dst").alias("uri"))
     )
