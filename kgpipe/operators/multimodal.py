@@ -227,6 +227,148 @@ def sample_video_frames(media_df, every_n: int = 10, max_frames: int = 5, fake: 
     return videos.select("media_id", "payload").mapInPandas(_batch, schema=FRAME_SAMPLE_SCHEMA)
 
 
+def block_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic area-style resize by block averaging: pixel
+    (i, j) of the output is the mean of its source rectangle. Pure
+    numpy, exact on integer-ratio downscales, sensible on any ratio."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, img.shape[2]), dtype=np.uint8)
+    f = img.astype(np.float32)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = f[y0:y1, x0:x1].mean(axis=(0, 1)).round()
+    return out
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, ppm binary"
+
+
+def resize_images(media_df, out_w: int = 32, out_h: int = 32):
+    """Real image resize over binary media columns: decode (codec-free
+    PPM/BMP), block-average to (out_w, out_h), re-encode as PPM.
+    → (media_id, width, height, ppm). mapInPandas; non-image rows are
+    filtered JVM-side. Rows whose format needs an absent codec are
+    dropped (same contract as a quarantine — count via anti-join)."""
+    from pyspark.sql import functions as F
+
+    images = media_df.where(F.col("media_type") == "image")
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "width": [], "height": [], "ppm": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload.startswith(b"P6"):
+                        img = _decode_ppm(payload)
+                    elif payload.startswith(b"BM"):
+                        img = _decode_bmp(payload)
+                    else:
+                        continue  # compressed: codec seam absent
+                except (ValueError, DecoderUnavailable):
+                    continue
+                small = block_resize(img, out_w, out_h)
+                rows["media_id"].append(mid)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["ppm"].append(encode_ppm(small))
+            yield pd.DataFrame(rows)
+
+    return images.select("media_id", "payload").mapInPandas(_batch, schema=RESIZED_SCHEMA)
+
+
+# --- audio: codec-free WAV (RIFF PCM) ---------------------------------
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, zero_crossings long"
+)
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE with 16-bit PCM → (sample_rate, n_channels,
+    samples[int16, interleaved]). Pure struct parsing — no codec lib.
+    Compressed/float formats raise DecoderUnavailable."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise DecoderUnavailable(
+            f"WAV format={audio_format} bits={bits}: only 16-bit PCM decodes codec-free"
+        )
+    samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    return sample_rate, n_channels, samples
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """int16 samples → minimal RIFF/WAVE PCM bytes (the exact layout
+    _decode_wav reads back)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_features(media_df):
+    """audio rows → (media_id, sample_rate, n_channels, n_samples,
+    duration_s, rms, zero_crossings). Real decode for 16-bit PCM WAV
+    (codec-free); other audio payloads are dropped (codec seam)."""
+    from pyspark.sql import functions as F
+
+    audio = media_df.where(F.col("media_type") == "audio")
+
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples",
+                "duration_s", "rms", "zero_crossings",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    sr, nc, samples = _decode_wav(payload)
+                except (ValueError, DecoderUnavailable, IndexError):
+                    continue
+                x = samples.astype(np.float64)
+                n = len(samples) // max(nc, 1)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(sr)
+                rows["n_channels"].append(nc)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(n / sr if sr else 0.0)
+                rows["rms"].append(float(np.sqrt((x ** 2).mean())) if len(x) else 0.0)
+                rows["zero_crossings"].append(
+                    int(((x[:-1] * x[1:]) < 0).sum()) if len(x) > 1 else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return audio.select("media_id", "payload").mapInPandas(_batch, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """HxWx3 uint8 → binary PPM (P6) bytes."""
     h, w = img.shape[:2]

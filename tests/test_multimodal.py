@@ -110,3 +110,59 @@ def test_real_decoder_through_spark(spark):
     assert sorted((r.media_id, r.phash) for r in rows2) == sorted(
         (r.media_id, r.phash) for r in rows
     )
+
+
+def test_block_resize_exact_on_integer_ratio():
+    from kgpipe.operators.multimodal import block_resize
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[:2, :2] = 100
+    img[:2, 2:] = 200
+    img[2:, :2] = 40
+    img[2:, 2:] = 8
+    small = block_resize(img, 2, 2)
+    assert small[0, 0, 0] == 100 and small[0, 1, 0] == 200
+    assert small[1, 0, 0] == 40 and small[1, 1, 0] == 8
+
+
+def test_resize_images_through_spark(spark):
+    from kgpipe.operators.multimodal import (
+        MEDIA_SCHEMA, _decode_ppm, gen_image_fixture, resize_images,
+    )
+
+    media = spark.createDataFrame(gen_image_fixture(12), schema=MEDIA_SCHEMA)
+    rows = resize_images(media, out_w=8, out_h=8).collect()
+    assert len(rows) == 12
+    for r in rows:
+        img = _decode_ppm(bytes(r.ppm))
+        assert img.shape == (8, 8, 3)
+
+
+def test_wav_roundtrip_and_features(spark):
+    from kgpipe.operators.multimodal import (
+        MEDIA_SCHEMA, _decode_wav, audio_features, encode_wav,
+    )
+
+    # 443 Hz: doesn't divide 8 kHz, so no sample lands exactly on a
+    # zero (a zero-valued sample is neither + nor − and would be
+    # skipped by the sign-product crossing count)
+    sr, dur, freq, amp = 8000, 2.0, 443.0, 10000
+    t = np.arange(int(sr * dur)) / sr
+    samples = (amp * np.sin(2 * np.pi * freq * t)).astype("<i2")
+    payload = encode_wav(samples, sr)
+    got_sr, got_nc, got = _decode_wav(payload)
+    assert (got_sr, got_nc) == (sr, 1) and np.array_equal(got, samples)
+
+    rows = {"media_id": [1, 2], "media_type": ["audio", "audio"],
+            "payload": [payload, b"not a wav"], "meta": [{}, {}]}
+    import pandas as pd
+
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    feats = audio_features(media).collect()
+    assert len(feats) == 1, "non-WAV audio drops at the codec seam"
+    f = feats[0]
+    assert f.media_id == 1 and f.sample_rate == sr and f.n_channels == 1
+    assert abs(f.duration_s - dur) < 1e-9
+    # sine RMS = amp/sqrt(2); zero crossings = 2 per cycle
+    assert abs(f.rms - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
+    assert abs(f.zero_crossings - 2 * freq * dur) <= 4
