@@ -204,8 +204,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Hash-seeded (xxhash64 bands) — no SQL twin; rows-only check.
-    Its verified superset q_ngram_jaccard IS oracle-checked."""
+    """Oracle-gated against the EXACT 2-gram Jaccard pair set at
+    J ≥ 0.8: the exact-Jaccard verification step makes every emitted
+    pair ground-truth-correct, and the banding's recall at this
+    threshold (P(miss per pair) ≈ 2e-4, deterministic given the
+    data) is complete on the sf0.01 corpus — verified side-by-side
+    before promoting this from a rows-only check."""
     from kgpipe.operators.dedup import minhash_dup_pairs
 
     # r=4 rows/band targets the J≥0.8 regime (P(match|J=0.8)≈0.9998,
@@ -757,6 +761,23 @@ def oracle_sql() -> dict[str, str]:
             join sizes na on s.a = na.doc_id
             join sizes nb on s.b = nb.doc_id
             where s.c::DOUBLE / (na.n + nb.n - s.c) >= 0.2
+        """,
+        "minhash_lsh_pairs": r"""
+            with g as (
+              select doc_id, list_distinct(
+                list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                               i -> array_to_string(w[i:i+1], ' '))) as grams
+              from (select doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') as w
+                    from documents)
+            ), j as (
+              select a.doc_id as a, b.doc_id as b,
+                     len(list_intersect(a.grams, b.grams))::DOUBLE /
+                     (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))) as jac
+              from g a join g b on a.doc_id < b.doc_id
+            )
+            select a, b, round(jac, 4) as jaccard from j where jac >= 0.8
         """,
         "ann_bruteforce": _ANN_ORACLE,
         "ann_ivf_fullprobe": _ANN_ORACLE,
