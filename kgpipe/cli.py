@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="null-sentinel shortcut that strips its prefix (ntto -n)")
     cv.add_argument("--strict", action="store_true",
                     help="fail on the first broken line (reference default without -i)")
+    cv.add_argument("--single-file", action="store_true",
+                    help="write one output part (ntto -o writes a single file; "
+                         "forces a coalesce(1) — only for outputs that fit one writer)")
 
     run = sub.add_parser("run", help="run the full KG pipeline")
     run.add_argument("--pages", required=True, help="parquet dir of pages")
@@ -125,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
                 abbreviate=not args.no_abbrev,
             )
             clean = triples.where(F.col("error").isNull())
+            if args.single_file:
+                clean = clean.coalesce(1)
             if args.strict:
                 bad = triples.where(F.col("error").isNotNull()).select("error").first()
                 if bad is not None:

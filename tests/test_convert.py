@@ -143,3 +143,15 @@ def test_convert_cli_end_to_end(spark, tmp_path):
 def test_convert_empty_input_zero_rows(spark):
     df = spark.createDataFrame([("",), ("   ",)], "value string")
     assert convert_nt_lines(df, RULES).count() == 0
+
+
+def test_convert_cli_single_file(spark, tmp_path):
+    from kgpipe.cli import main
+
+    src = tmp_path / "in.nt"
+    src.write_text("\n".join(NT_LINES) + "\n")
+    out = tmp_path / "single"
+    rc = main(["convert", str(src), "--out", str(out), "--single-file"])
+    assert rc == 0
+    parts = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert len(parts) == 1
