@@ -65,6 +65,26 @@ def test_salted_collect_sample_bounded(zipf_triples):
     assert any(len(r.sample) == 50 for r in rows)  # hot key hits the cap
 
 
+def test_salted_collect_sample_exact(zipf_triples):
+    """EXACT equality with the unsalted form: each salt bucket keeps
+    its per_key_limit smallest, so the merged truncation equals
+    slice(sort(collect_list), 1, limit) even when all global minima
+    hash into one bucket."""
+    got = {
+        r.p: list(r.sample)
+        for r in salted_collect_sample(
+            zipf_triples, ["p"], "s", per_key_limit=25, n_salt=8
+        ).collect()
+    }
+    unsalted = (
+        zipf_triples.groupBy("p")
+        .agg(F.slice(F.sort_array(F.collect_list("s")), 1, 25).alias("sample"))
+        .collect()
+    )
+    exp = {r.p: list(r.sample) for r in unsalted}
+    assert got == exp
+
+
 def test_salted_join_matches_plain_join(spark, zipf_triples):
     dim = zipf_triples.select("p").distinct().withColumn("p_meta", F.concat(F.lit("m:"), "p"))
     plain = zipf_triples.join(dim, "p").groupBy("p_meta").count()
