@@ -14,7 +14,8 @@ from kgpipe.checkpoints import CheckpointLog
 from kgpipe.nt.rules import parse_rules
 from pyspark.sql import functions as F
 
-spark = get_spark(master="local[32]", shuffle_partitions=32)
+_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark(master=f"local[{_cpus}]", shuffle_partitions=max(_cpus, 8))
 gen = tempfile.mkdtemp(prefix="pp_pages_")
 wh = tempfile.mkdtemp(prefix="pp_wh_")
 gen_pages_spark(spark, int(sys.argv[1]) if len(sys.argv) > 1 else 40000).write.mode("overwrite").parquet(gen)
