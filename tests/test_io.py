@@ -63,3 +63,35 @@ def test_iceberg_roundtrip(spark, tmp_path):
     assert io.read("t").count() == 10
     io.drop("t")
     assert not io.exists("t")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT any exchange:
+    the shuffle was paid at write time (the 100 TB layout for
+    entity-keyed joins). Broadcast is disabled for the assertion so
+    the plan must rely on the bucketing, not on table size."""
+    io = TableIO(spark, str(tmp_path))
+    a = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    io.write_bucketed(a, "bk_a", ["k"], 8, sort_by=["k"])
+    io.write_bucketed(b, "bk_b", ["k"], 8, sort_by=["k"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = io.read_bucketed("bk_a").join(io.read_bucketed("bk_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert j.count() == 1000
+        # unbucketed read of the same data DOES shuffle — the contrast
+        pa = spark.read.parquet(io.path("bk_a"))
+        pb = spark.read.parquet(io.path("bk_b"))
+        plan2 = pa.join(pb, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("drop table if exists bk_a")
+        spark.sql("drop table if exists bk_b")
