@@ -113,7 +113,14 @@ def bench_queries(spark, sf_dir: str) -> dict:
     # kept for comparison.
     from kgpipe.convert import convert_nt_lines
 
+    # persist the constructed line corpus: the queries under test are
+    # the parse/abbrev/convert OPERATORS, not the synthetic source
+    # rebuild (scan + concat + repartition shuffle), which would
+    # otherwise dominate each timed region at this corpus size
+    from pyspark.storagelevel import StorageLevel
+
     lines = _nt_lines_from_lineitem(spark, sf_dir).withColumnRenamed("line", "value")
+    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     n_lines = lines.count()
     rules = parse_rules(RULES_16_TEXT)
     run("parse_bulk", lambda: parse_lines_to_triples(lines, "value").where(F.col("s").isNotNull()).count())
@@ -129,7 +136,33 @@ def bench_queries(spark, sf_dir: str) -> dict:
         lambda: convert_nt_lines(lines, rules, mode="compat")
         .where(F.col("error").isNull()).count(),
     )
+    # abbreviate-only over the full 223-rule DefaultRules — the
+    # apples-to-apples comparison with the reference's `ntto -a`
+    # (BASELINE.md: 1.03M lines/s). sum(length) forces the rewrite
+    # (a bare count would prune the UDF column). Measured over a 4×
+    # unioned persisted corpus so the ~1s fixed job latency doesn't
+    # mask operator throughput (the reference's number comes from a
+    # 114M-line file where startup is noise).
+    from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
+    from kgpipe.operators.abbrev import abbreviate_lines
+
+    rules223 = parse_rules(DEFAULT_RULES_TEXT)
+    big = lines
+    for _ in range(2):
+        big = big.union(big)
+    big = big.repartition(2 * spark.sparkContext.defaultParallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_big = big.count()
+    run(
+        "abbrev_bulk",
+        lambda: abbreviate_lines(big, rules223, line_col="value")
+        .select(F.sum(F.length("value"))).collect(),
+    )
+    big.unpersist(blocking=False)
+    lines.unpersist(blocking=False)
     timings["__n_bulk_lines"] = n_lines
+    timings["__n_big_lines"] = n_big
 
     q = em.queries()
     for name in [
@@ -158,6 +191,7 @@ def main() -> None:
     try:
         timings = bench_queries(spark, sf_dir)
         n_bulk = int(timings.pop("__n_bulk_lines"))
+        n_big = int(timings.pop("__n_big_lines"))
         n_pages = int(
             os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(int(PAGES_PER_SF * sf), 2000))
         )
@@ -177,6 +211,8 @@ def main() -> None:
             "parse_abbrev_lines_per_sec": round(n_bulk / timings["parse_abbrev_bulk"], 1),
             # the `kgpipe convert` fused path — ntto's actual job shape
             "convert_lines_per_sec": round(n_bulk / timings["convert_bulk"], 1),
+            # ntto -a apples-to-apples: abbreviate-only, 223-rule table
+            "abbrev_lines_per_sec": round(n_big / timings["abbrev_bulk"], 1),
         }
         print(json.dumps(out))
     finally:

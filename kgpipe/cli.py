@@ -47,7 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     cv.add_argument("input", help="N-Triples file, directory of files, or '-' for stdin")
     cv.add_argument("--out", required=True, help="output directory")
     cv.add_argument("--format", choices=["ldj", "nt"], default="ldj",
-                    help="ldj = ntto -j (default); nt = abbreviated N-Triples")
+                    help="ldj = ntto -j (default); nt = abbreviated N-Triples "
+                         "(with --mode compat: byte-compatible ntto -a line "
+                         "stream, substituted in place, nothing parsed)")
     cv.add_argument("--no-abbrev", action="store_true",
                     help="parse without prefix rewriting (plain ntto -j)")
     cv.add_argument("--rules", default=None, help="rules file (default: built-in 223)")
@@ -101,45 +103,80 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"kgpipe-{args.cmd}")
     try:
         if args.cmd == "convert":
+            import os
             import tempfile
 
             from pyspark.sql import functions as F
 
             from kgpipe.convert import convert_nt_lines
             from kgpipe.nt.rules import NULL_SENTINEL, parse_rules
-            from kgpipe.operators.sinks import write_ldj, write_nt
+            from kgpipe.operators.sinks import write_ldj, write_nt, write_nt_compat
 
             path = args.input
+            stdin_tmp = None
             if path == "-":
                 # stdin is driver-local by nature; spool it so Spark can
-                # split it (the file path is the distributable handle)
+                # split it (the file path is the distributable handle).
+                # NOTE: a driver-local temp path is only readable by
+                # executors in local mode or on a shared filesystem —
+                # on a plain cluster, pipe into a distributed path and
+                # pass that instead.
                 tmp = tempfile.NamedTemporaryFile(
                     "w", suffix=".nt", delete=False, prefix="kgpipe_stdin_"
                 )
                 tmp.write(sys.stdin.read())
                 tmp.close()
-                path = tmp.name
-            lines = spark.read.text(path)
-            triples = convert_nt_lines(
-                lines,
-                parse_rules(_load_rules(args.rules)),
-                mode=args.mode,
-                null=args.null if args.null is not None else NULL_SENTINEL,
-                abbreviate=not args.no_abbrev,
-            )
-            clean = triples.where(F.col("error").isNull())
-            if args.single_file:
-                clean = clean.coalesce(1)
-            if args.strict:
-                bad = triples.where(F.col("error").isNotNull()).select("error").first()
-                if bad is not None:
-                    print(f"kgpipe: {bad['error']}", file=sys.stderr)
-                    return 1
-            if args.format == "ldj":
-                write_ldj(clean, args.out)
-            else:
-                write_nt(clean, args.out)
-            return 0
+                path = stdin_tmp = tmp.name
+            try:
+                lines = spark.read.text(path)
+                rules = parse_rules(_load_rules(args.rules))
+                null = args.null if args.null is not None else NULL_SENTINEL
+                if args.format == "nt" and args.mode == "compat" and not args.no_abbrev:
+                    # ntto -a without -j: the output IS the substituted
+                    # raw line stream (byte-compatible, nothing parsed)
+                    if args.strict:
+                        bad = (
+                            convert_nt_lines(lines, None, abbreviate=False)
+                            .where(F.col("error").isNotNull())
+                            .select("error")
+                            .first()
+                        )
+                        if bad is not None:
+                            print(f"kgpipe: {bad['error']}", file=sys.stderr)
+                            return 1
+                    out = lines
+                    if args.single_file:
+                        out = out.coalesce(1)
+                    write_nt_compat(out, rules, args.out, null=null)
+                    return 0
+                triples = convert_nt_lines(
+                    lines, rules, mode=args.mode, null=null,
+                    abbreviate=not args.no_abbrev,
+                )
+                if args.strict:
+                    # persist so the strict probe and the write share one
+                    # computation of the conversion
+                    from pyspark.storagelevel import StorageLevel
+
+                    triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+                    bad = triples.where(F.col("error").isNotNull()).select("error").first()
+                    if bad is not None:
+                        print(f"kgpipe: {bad['error']}", file=sys.stderr)
+                        return 1
+                clean = triples.where(F.col("error").isNull())
+                if args.single_file:
+                    clean = clean.coalesce(1)
+                if args.format == "ldj":
+                    write_ldj(clean, args.out)
+                else:
+                    write_nt(clean, args.out)
+                return 0
+            finally:
+                if stdin_tmp is not None:
+                    try:
+                        os.unlink(stdin_tmp)
+                    except OSError:
+                        pass
 
         if args.cmd == "run":
             from kgpipe.pipeline import PipelineConfig, run_pipeline

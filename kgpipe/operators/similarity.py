@@ -176,6 +176,7 @@ def cosine_neardup_pairs(
     n_bands: int = 8,
     max_bucket: int = 256,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: random-hyperplane LSH
     candidates (band the sign signature, bucket-join — never the
@@ -190,7 +191,17 @@ def cosine_neardup_pairs(
 
     assert n_bits % n_bands == 0
     r = n_bits // n_bands
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # plane generation needs the dimensionality; when the caller
+        # doesn't pass it this runs one driver-side first() at
+        # plan-construction time
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "cosine_neardup_pairs: input frame is empty (or the "
+                f"first {vec_col!r} is null) — pass dim= explicitly"
+            )
+        dim = len(head[0])
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sig = hyperplane_signature(F.col("v"), dim, n_bits, seed)
     # signature materialized under the Generate (same inlining trap as

@@ -29,16 +29,39 @@ def write_ldj(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+def write_nt_compat(
+    lines_df: DataFrame,
+    rules,
+    path: str,
+    null: str | None = None,
+    mode: str = "overwrite",
+    line_col: str = "value",
+) -> None:
+    """BYTE-compatible `ntto -a` sink: the raw line stream with prefix
+    substitutions applied in place and nothing else — original term
+    framing (angle brackets, literal quotes, even trailing garbage)
+    survives verbatim, because `ntto -a` without `-j` IS just the
+    perl/replace pipeline's stdout redirected to the output file
+    (/root/reference/cmd/ntto/ntto.go:144-166). No parse, no
+    filtering: broken lines, blank lines and all pass through exactly
+    as perl's -lnpe would echo them. Line ORDER across part files is
+    a multiset contract (Q10), same as the reference's worker fan-in."""
+    from kgpipe.operators.abbrev import abbreviate_lines
+
+    out = abbreviate_lines(lines_df.select(line_col), rules, null=null, line_col=line_col)
+    out.select(F.col(line_col).alias("value")).write.mode(mode).text(path)
+
+
 def write_nt(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """triples(s, p, o, ...) → N-Triples-shaped lines `<s> <p> <o> .`.
 
-    NOT byte-identical to `ntto -a` output: the reference substitutes
-    prefixes textually IN PLACE, so abbreviated terms keep their
-    original angle brackets (`<gnd:123>`) and literals keep their
-    quotes, while this sink emits CURIEs/literals bare and re-brackets
-    only terms that still look like full IRIs. The triple VALUES
-    (after stripping framing) are identical; byte-level consumers of
-    ntto's NT output should diff term-wise, not line-wise."""
+    NOT byte-identical to `ntto -a` output: this sink works from
+    PARSED terms, so abbreviated terms are emitted bare and only
+    still-full IRIs are re-bracketed. For byte-level parity with
+    `ntto -a` use `write_nt_compat`, which substitutes in place on
+    the raw line stream like the reference does. The triple VALUES
+    (after stripping framing) are identical between the two; this
+    form is the engine-native one for downstream parsed consumers."""
 
     def term(c: str) -> F.Column:
         # IRIs keep angle brackets only if they still look like IRIs

@@ -218,6 +218,9 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     cmap = cmap.observe(obs, F.count(F.lit(1)).alias("n"))
     io.write(cmap, "canonical_map", mode="overwrite")
     n_out = obs.get["n"]  # measured during the write job — no re-read
+    # cached blocks must not outlive the stage: the session is often
+    # shared across pipeline runs (tests, notebooks)
+    edges.unpersist(blocking=False)
     stats = spark.createDataFrame(
         [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",

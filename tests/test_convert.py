@@ -155,3 +155,72 @@ def test_convert_cli_single_file(spark, tmp_path):
     assert rc == 0
     parts = [n for n in os.listdir(out) if n.startswith("part-")]
     assert len(parts) == 1
+
+
+def perl_lines(lines, rules, parts=1):
+    """Raw perl pipeline output lines — the exact bytes `ntto -a`
+    writes to its output file (ntto.go:144-166)."""
+    cmd = sedify(rules, parts, "")
+    res = subprocess.run(cmd, shell=True, input="\n".join(lines),
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr
+    return collections.Counter(res.stdout.split("\n")[:-1])
+
+
+# lines exercising framing the parsed NT sink cannot preserve: typed
+# and lang-tagged literals, >4 tokens, a broken line, a blank line
+FRAMING_LINES = NT_LINES + [
+    '<http://d-nb.info/gnd/1> <http://schema.org/x> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',
+    '<http://dbpedia.org/resource/X> <http://schema.org/name> "Name"@de .',
+    "<http://viaf.org/viaf/1> <http://schema.org/k> <http://d-nb.info/gnd/2> <extra> .",
+    "",  # blank line mid-stream (a trailing one would not be a perl line)
+    "broken line",
+]
+
+
+def test_abbreviate_lines_byte_identical_to_perl(spark):
+    """The `ntto -a` surface: abbreviate_lines output is BYTE-identical
+    (as a line multiset, Q10) to the live perl pipeline on the shipped
+    223-rule DefaultRules — angle brackets, literal quotes, datatype
+    framing, broken lines and blanks all survive verbatim."""
+    from kgpipe.operators.abbrev import abbreviate_lines
+
+    df = spark.createDataFrame([(l,) for l in FRAMING_LINES], "value string").repartition(3)
+    got = collections.Counter(
+        r.value for r in abbreviate_lines(df, RULES).collect()
+    )
+    assert got == perl_lines(FRAMING_LINES, RULES)
+    # and the multi-stage perl pipeline (reference default -w 4)
+    # produces the same bytes — partition order is Q12-irrelevant
+    assert got == perl_lines(FRAMING_LINES, RULES, parts=4)
+
+
+def test_abbreviate_lines_jvm_engine_matches_pandas(spark):
+    from kgpipe.operators.abbrev import abbreviate_lines
+
+    # small table: the JVM fold is only for few-rule cases
+    rules = parse_rules(
+        "dbp http://dbpedia.org/resource/\ngnd http://d-nb.info/gnd/"
+    )
+    df = spark.createDataFrame([(l,) for l in FRAMING_LINES], "value string")
+    a = sorted(r.value for r in abbreviate_lines(df, rules, engine="pandas").collect())
+    b = sorted(r.value for r in abbreviate_lines(df, rules, engine="jvm").collect())
+    assert a == b
+
+
+def test_convert_cli_nt_compat_byte_identical_to_perl(spark, tmp_path):
+    """CLI: convert --format nt --mode compat writes the ntto -a byte
+    stream (in-place substitution, nothing parsed or dropped)."""
+    from kgpipe.cli import main
+
+    src = tmp_path / "in.nt"
+    src.write_text("\n".join(FRAMING_LINES) + "\n")
+    out = tmp_path / "nt_compat"
+    rc = main(["convert", str(src), "--out", str(out), "--format", "nt"])
+    assert rc == 0
+    got = collections.Counter()
+    for name in os.listdir(out):
+        if name.startswith("part-"):
+            with open(out / name) as f:
+                got.update(line.rstrip("\n") for line in f)
+    assert got == perl_lines(FRAMING_LINES, RULES)

@@ -186,3 +186,95 @@ def test_lpm_roundtrip_property(k):
     rw = PrefixRewriter(RULES16, mode="lpm")
     uri = f"http://d-nb.info/gnd/{k}"
     assert rw.expand_term(rw.rewrite_term(uri)) == uri
+
+
+# ---- compiled single-pass engine (the vectorized hot path) ----------
+
+def _defaultrules():
+    from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
+
+    return parse_rules(DEFAULT_RULES_TEXT)
+
+
+def test_singlepass_compiles_for_defaultrules():
+    rw = PrefixRewriter(_defaultrules(), mode="compat")
+    assert rw._compat_rx is not None, (
+        "the 223-rule DefaultRules table must take the compiled "
+        "single-pass path (the whole point of the engine)"
+    )
+
+
+def test_singlepass_disabled_for_strip_rules():
+    """A null rule DELETES text (glues neighbors) — no static check
+    bounds that, so the fast path must refuse and fall back."""
+    rules = parse_rules("<NULL> http://example.org/\ndc http://purl.org/dc/elements/1.1/")
+    rw = PrefixRewriter(rules, mode="compat")
+    assert rw._compat_rx is None
+    got = rw.rewrite_series(pd.Series(["<http://example.org/a> x ."])).tolist()
+    assert got == ["<a> x ."]
+
+
+def test_singlepass_boundary_spanning_rows_take_sequential_path():
+    """The one channel the static checks cannot kill: a sequential
+    pass matching ACROSS original text and an earlier substitution.
+    These rows must be detected (suspect scan) and produce the exact
+    sequential answer."""
+    rules = _defaultrules()
+    rw = PrefixRewriter(rules, mode="compat")
+    adversarial = [
+        # '...Podcast-1.0.dt' + dbp-URI: pass 0 creates the final 'd'
+        # that completes the itunes DTD pattern for pass 150
+        "http://www.itunes.com/DTDs/Podcast-1.0.dt" "http://dbpedia.org/resource/X",
+        "urn:yahoo:map" "http://schema.org/name",
+        "http://www.w3.org/2005/Ato" "http://search.yahoo.com/mrss/",
+        # adjacent match sites
+        "http://dbpedia.org/resource/http://d-nb.info/gnd/5",
+        "http://dbpedia.org/resource/" "http://dbpedia.org/resource/",
+        # interior-segment completion (urn:yah + replaced + maps)
+        "urn:yah" "http://dbpedia.org/resource/" "maps",
+    ]
+    got = rw.rewrite_series(pd.Series(adversarial, dtype="object")).tolist()
+    assert got == [rw.rewrite_term(x) for x in adversarial]
+
+
+def test_singlepass_priority_on_prefix_related_patterns():
+    """DefaultRules regression: rss(185) is a prefix of both
+    content(125) and slash(192). content (earlier) must win its span;
+    rss must beat slash everywhere (its sequential pass destroys
+    every slash site)."""
+    rw = PrefixRewriter(_defaultrules(), mode="compat")
+    cases = {
+        "http://purl.org/rss/1.0/modules/content/x": "content:x",
+        "http://purl.org/rss/1.0/modules/slash/x": "rss:modules/slash/x",
+        "http://purl.org/rss/1.0/title": "rss:title",
+    }
+    for term, want in cases.items():
+        assert rw.rewrite_term(term) == want  # ground truth agrees
+        got = rw.rewrite_series(pd.Series([term])).tolist()[0]
+        assert got == want
+
+
+@given(st.data())
+@settings(max_examples=300, deadline=None)
+def test_singlepass_fuzz_equals_sequential(data):
+    """Property: the vectorized rewrite (compiled single pass +
+    suspect routing) equals the scalar sequential ground truth on
+    arbitrary concatenations of rule prefixes, prefix fragments and
+    noise — both modes, both rule tables."""
+    rules = _defaultrules()
+    prefixes = [r.prefix for r in rules]
+    frag = st.sampled_from(prefixes).flatmap(
+        lambda p: st.integers(1, len(p)).map(lambda k: p[:k])
+    )
+    tail = st.sampled_from(prefixes).flatmap(
+        lambda p: st.integers(0, len(p) - 1).map(lambda k: p[k:])
+    )
+    atom = st.one_of(
+        st.sampled_from(prefixes), frag, tail,
+        st.sampled_from(["<", ">", '"', " ", ".", "x", "d", "s", "m", "y:", "oo:"]),
+    )
+    s = data.draw(st.lists(atom, min_size=0, max_size=6).map("".join))
+    for mode in ("compat", "lpm"):
+        rw = PrefixRewriter(rules, mode=mode)
+        got = rw.rewrite_series(pd.Series([s], dtype="object")).tolist()[0]
+        assert got == rw.rewrite_term(s), (mode, s)
