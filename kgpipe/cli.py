@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     cv.add_argument("--single-file", action="store_true",
                     help="write one output part (ntto -o writes a single file; "
                          "forces a coalesce(1) — only for outputs that fit one writer)")
+    cv.add_argument("--fragment-bytes", type=int, default=None, metavar="N",
+                    help="replay quirk Q8: split lines longer than N into "
+                         "N-sized fragments before parsing, like the "
+                         "reference's 4096-byte bufio.ReadLine (ntto.go:188-197); "
+                         "default keeps whole lines")
 
     run = sub.add_parser("run", help="run the full KG pipeline")
     run.add_argument("--pages", required=True, help="parquet dir of pages")
@@ -152,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
                 triples = convert_nt_lines(
                     lines, rules, mode=args.mode, null=null,
                     abbreviate=not args.no_abbrev,
+                    fragment_bytes=args.fragment_bytes,
                 )
                 if args.strict:
                     # persist so the strict probe and the write share one

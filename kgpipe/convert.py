@@ -36,11 +36,25 @@ def convert_nt_lines(
     null: str = NULL_SENTINEL,
     abbreviate: bool = True,
     line_col: str = "value",
+    fragment_bytes: int | None = None,
 ) -> DataFrame:
     """lines(value) → (s, p, o, error). ``rules=None`` or
     ``abbreviate=False`` parses without rewriting (plain ``ntto -j``).
     Broken lines become quarantine rows with ``error`` set (the
-    reference's ``-i`` skip, made observable)."""
+    reference's ``-i`` skip, made observable).
+
+    ``fragment_bytes`` replays quirk Q8 (ntto.go:188-197): the
+    reference reads with bufio.Reader.ReadLine over a 4096-byte
+    buffer, so a line longer than the buffer arrives as multiple
+    4096-byte fragments, each parsed as if it were a full line (the
+    head fragment usually yields a mangled triple, the rest
+    quarantine). Pass 4096 for reference parity; default None keeps
+    whole lines (the engine-native behavior, documented divergence).
+    Fragmentation happens where the reference's does: AFTER the -a
+    rewrite (perl has no line-length limit; the parser re-reads the
+    abbreviated file), at character offsets — identical to the
+    reference's byte offsets for spec-conformant (ASCII-escaped)
+    N-Triples."""
     src = lines_df.select(line_col)
     rewriter = None
     if abbreviate and rules:
@@ -59,6 +73,18 @@ def convert_nt_lines(
             lines = lines[lines.str.strip() != ""]  # empty file → zero rows
             if rw is not None and rw.mode == "compat":
                 lines = rw.rewrite_series(lines)
+            if fragment_bytes is not None and len(lines):
+                fb = int(fragment_bytes)
+                lines = pd.Series(
+                    [
+                        chunk
+                        for s in lines
+                        for chunk in (
+                            [s[i : i + fb] for i in range(0, len(s), fb)] or [s]
+                        )
+                    ],
+                    dtype="object",
+                )
             out = parse_nt_frame(lines.reset_index(drop=True))
             if rw is not None and rw.mode != "compat":
                 ok = out["error"].isna()

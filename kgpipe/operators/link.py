@@ -114,22 +114,40 @@ def banded_rows(
 
 def capped_buckets(banded: DataFrame, max_bucket: int, *aggs) -> DataFrame:
     """groupBy(band, bh) with the size cap enforced BEFORE any
-    collect_list materializes. A window count over (band, bh) tags
-    every row with its bucket size — WindowExec streams each bucket
-    through a spillable buffer (disk, not reducer heap), so a
-    degenerate bucket (empty text, boilerplate) is filtered without
-    ever being built as aggregation state; the collect_list then only
-    sees buckets ≤ max_bucket. At 10^12 docs a post-collect cap is
-    an OOM, not a skew guard. The window and the groupBy hash-
-    partition on the same keys, so the agg adds no second exchange —
-    and the banding (signature fold) is evaluated exactly once."""
-    from pyspark.sql import Window
+    degenerate bucket reaches a reducer.
 
-    w = Window.partitionBy("band", "bh")
-    capped = banded.withColumn("__n", F.count(F.lit(1)).over(w)).where(
-        (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
+    Two-phase shape: (1) a count-only aggregation finds oversized
+    bucket keys — count() partial-aggregates map-side, so its
+    exchange carries at most one row per (bucket, map partition) and
+    its output is the (tiny) oversize key set; (2) a BROADCAST
+    anti-join drops those keys from the banded rows while they are
+    still map-side, so no single reduce task ever streams a
+    pathological bucket (empty text, boilerplate — at 10^12 docs such
+    a bucket is a straggler at best, an OOM at worst). Singleton
+    buckets are dropped by a having-filter on the final aggregation;
+    the surviving collect_list state is bounded by max_bucket.
+
+    The banded input is persisted (MEMORY_AND_DISK) so the expensive
+    part — the per-row signature fold — runs ONCE: the oversize scan
+    fills the cache, the final aggregation reads it. The cached
+    blocks are dropped by the ContextCleaner when the result goes out
+    of scope (nothing long-lived holds the plan)."""
+    from pyspark.storagelevel import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    oversized = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .where(F.col("__sz") > max_bucket)
+        .select("band", "bh")
     )
-    return capped.groupBy("band", "bh").agg(*aggs)
+    kept = banded.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
+    return (
+        kept.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__bucket_n"), *aggs)
+        .where(F.col("__bucket_n") > 1)
+        .drop("__bucket_n")
+    )
 
 
 def bucket_stats(banded: DataFrame, max_bucket: int) -> DataFrame:

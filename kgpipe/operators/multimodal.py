@@ -127,23 +127,51 @@ def _features(img: np.ndarray) -> np.ndarray:
     )
 
 
-def _decode_compressed(payload: bytes):  # pragma: no cover - codec seam
-    raise DecoderUnavailable(
-        "JPEG/PNG decoding requires PIL/libvips; not present in this "
-        "container. Supported codec-free: PPM (P6), BMP (24bpp). "
-        "Swap this seam when a codec library exists."
-    )
+_PIL_IMAGE = "unchecked"
+
+
+def _pil_image():
+    """Optional-codec detection, once per process (mirrors the
+    Iceberg skip-if-no-jar seam): PIL is not shipped in this
+    container, but a cluster image that has it gets real JPEG/PNG/
+    WebP decoding with zero config. Returns PIL.Image or None."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE == "unchecked":
+        try:  # pragma: no cover - depends on environment
+            from PIL import Image
+
+            _PIL_IMAGE = Image
+        except Exception:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _decode_compressed(payload: bytes) -> np.ndarray:
+    """Compressed-raster seam: routed through PIL when the library is
+    importable, DecoderUnavailable otherwise. The codec-free tier
+    (PPM/BMP) never reaches here."""
+    image_mod = _pil_image()
+    if image_mod is None:
+        raise DecoderUnavailable(
+            "JPEG/PNG decoding requires PIL/libvips; not present in this "
+            "container. Supported codec-free: PPM (P6), BMP (24bpp). "
+            "Install pillow to enable this tier."
+        )
+    import io  # pragma: no cover - exercised only where PIL exists
+
+    img = image_mod.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Codec-free decode for uncompressed rasters; the compressed
-    branch is the library seam."""
+    """Codec-free decode for uncompressed rasters; compressed formats
+    go through the optional-PIL seam."""
     if payload.startswith(b"P6"):
         img = _decode_ppm(payload)
     elif payload.startswith(b"BM"):
         img = _decode_bmp(payload)
     else:
-        return _decode_compressed(payload)
+        img = _decode_compressed(payload)
     return img.shape[1], img.shape[0], _ahash64(img), _features(img)
 
 
@@ -200,14 +228,55 @@ def decode_image_features(media_df, fake: bool = True):
     )
 
 
+def _ffmpeg_path():
+    """Optional-codec detection for video (same seam pattern as
+    _pil_image): an ffmpeg binary on PATH enables real frame
+    sampling; this container ships none."""
+    import shutil
+
+    return shutil.which("ffmpeg")
+
+
+def _ffmpeg_sample_frames(
+    payload: bytes, every_n: int, max_frames: int
+) -> list[tuple[int, int]]:  # pragma: no cover - needs ffmpeg binary
+    """Real frame sampler: ffmpeg decodes stdin, keeps every
+    every_n-th frame scaled to 64×64 RGB rawvideo on stdout; each
+    frame is aHashed with the same _ahash64 as still images.
+    → [(frame_idx, phash), ...]"""
+    import subprocess
+
+    cmd = [
+        _ffmpeg_path(), "-v", "error", "-i", "pipe:0",
+        "-vf", f"select=not(mod(n\\,{every_n})),scale=64:64",
+        "-vsync", "vfr", "-frames:v", str(max_frames),
+        "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",
+    ]
+    res = subprocess.run(cmd, input=payload, capture_output=True, timeout=120)
+    if res.returncode != 0:
+        raise DecoderUnavailable(f"ffmpeg failed: {res.stderr[-500:]!r}")
+    frame_bytes = 64 * 64 * 3
+    out = []
+    for j in range(len(res.stdout) // frame_bytes):
+        arr = np.frombuffer(
+            res.stdout[j * frame_bytes : (j + 1) * frame_bytes], dtype=np.uint8
+        ).reshape(64, 64, 3)
+        out.append((j * every_n, _ahash64(arr)))
+    return out
+
+
 def sample_video_frames(media_df, every_n: int = 10, max_frames: int = 5, fake: bool = True):
     """video rows → (media_id, frame_idx, frame_phash): one output row
     per sampled frame (one→many mapInPandas). Fake decoder derives
-    per-frame hashes from (payload, frame_idx) deterministically."""
+    per-frame hashes from (payload, frame_idx) deterministically;
+    fake=False samples REAL frames through ffmpeg when a binary is on
+    PATH (DecoderUnavailable otherwise — this container has none)."""
     from pyspark.sql import functions as F
 
-    if not fake:  # pragma: no cover
-        raise DecoderUnavailable("video decoding requires ffmpeg; use fake=True")
+    if not fake and _ffmpeg_path() is None:
+        raise DecoderUnavailable(
+            "video decoding requires an ffmpeg binary on PATH; use fake=True"
+        )
 
     videos = media_df.where(F.col("media_type") == "video")
 
@@ -216,12 +285,27 @@ def sample_video_frames(media_df, every_n: int = 10, max_frames: int = 5, fake: 
             rows = {"media_id": [], "frame_idx": [], "frame_phash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                n_frames = min(max_frames, 1 + zlib.crc32(payload) % max_frames)
-                for j in range(n_frames):
-                    d = hashlib.sha256(payload + str(j * every_n).encode()).digest()
+                if fake:
+                    n_frames = min(max_frames, 1 + zlib.crc32(payload) % max_frames)
+                    frames = [
+                        (
+                            j * every_n,
+                            int.from_bytes(
+                                hashlib.sha256(
+                                    payload + str(j * every_n).encode()
+                                ).digest()[:8],
+                                "big",
+                                signed=True,
+                            ),
+                        )
+                        for j in range(n_frames)
+                    ]
+                else:  # pragma: no cover - needs ffmpeg binary
+                    frames = _ffmpeg_sample_frames(payload, every_n, max_frames)
+                for idx, ph in frames:
                     rows["media_id"].append(mid)
-                    rows["frame_idx"].append(j * every_n)
-                    rows["frame_phash"].append(int.from_bytes(d[:8], "big", signed=True))
+                    rows["frame_idx"].append(idx)
+                    rows["frame_phash"].append(ph)
             yield pd.DataFrame(rows)
 
     return videos.select("media_id", "payload").mapInPandas(_batch, schema=FRAME_SAMPLE_SCHEMA)

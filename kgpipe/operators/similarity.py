@@ -228,17 +228,75 @@ def cosine_neardup_pairs(
     )
 
 
-def assign_clusters(
+def _centroids_prepped(centroids: DataFrame, vec_col: str) -> DataFrame:
+    """(cid, cv double[], cnrm) — norms precomputed once on the (small
+    relative to corpus) centroid side, not per corpus row."""
+    cv = F.col(vec_col).cast("array<double>")
+    return centroids.select(
+        F.col("centroid_id").alias("cid"),
+        cv.alias("cv"),
+        F.greatest(_norm(cv), F.lit(1e-300)).alias("cnrm"),
+    )
+
+
+def assign_clusters_join(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment with NO shuffle and NO join: a JVM
-    array fold over the centroid literal picks each vector's argmax
-    centroid, so the plan is one narrow Project over the corpus scan.
-    (The previous crossJoin + window version expanded to N×C rows and
-    shuffled them all to rank per vec_id.) → df + cluster_id."""
+    """Nearest-centroid assignment for LARGE centroid tables (the
+    10⁵-10⁶ centroids a 100 TB IVF wants, where a plan literal is
+    impossible): broadcast-join corpus × centroids, then
+    groupBy(id).agg(max_by(cid, (score, -cid))). The N×C expansion is
+    never shuffled — max_by partial-aggregates map-side, so the
+    exchange carries one row per corpus vector (plan-pinned in
+    tests/test_plans.py). Tie-break identical to the literal path:
+    highest score, then lowest centroid id. Requires id_col to be a
+    row key (IVF corpus ids are)."""
+    vd = F.col(vec_col).cast("array<double>")
+    score = _dot(vd, F.col("cv")) / F.col("cnrm")
+    expanded = df.join(F.broadcast(_centroids_prepped(centroids, vec_col)))
+    others = [c for c in df.columns if c != id_col]
+    return expanded.groupBy(id_col).agg(
+        F.max_by(F.col("cid"), F.struct(score.alias("s"), (-F.col("cid")).alias("n"))).alias(
+            "cluster_id"
+        ),
+        *[F.any_value(F.col(c)).alias(c) for c in others],
+    ).select(id_col, *others, "cluster_id")
+
+
+# beyond this many centroids, plan-literal embedding (and the
+# driver-side collect it implies) stops being reasonable — switch to
+# the broadcast-join + partial max_by path
+LITERAL_CENTROID_MAX = 10_000
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Nearest-centroid assignment → df + cluster_id.
+
+    strategy='literal': NO shuffle and NO join — a JVM array fold
+    over the centroid plan-literal picks each vector's argmax centroid
+    in one narrow Project over the corpus scan. Right up to ~10⁴
+    centroids (plan size, driver collect).
+    strategy='join': broadcast-join + map-side-partial max_by
+    (assign_clusters_join) — one exchange of N rows, no plan-size
+    limit. Right beyond ~10⁴ centroids.
+    strategy='auto': count the centroid table and pick."""
+    if strategy == "auto":
+        strategy = (
+            "literal" if centroids.count() <= LITERAL_CENTROID_MAX else "join"
+        )
+    if strategy == "join":
+        return assign_clusters_join(df, centroids, id_col, vec_col)
+    if strategy != "literal":
+        raise ValueError(f"unknown assign strategy: {strategy}")
     cent_arr = _centroid_literal_array(centroids, vec_col)
     best = F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))
     return df.withColumn("cluster_id", best["cid"])
@@ -263,33 +321,59 @@ def ivf_topk(
     k: int = 5,
     stride: int = 50,
     nprobe: int = 2,
+    assign: str = "literal",
 ) -> DataFrame:
     """Approximate top-k: search only the nprobe clusters nearest to
     each query. → (query_id, neighbor_id, score, rank).
 
-    Both the corpus assignment and the per-query probe selection are
-    narrow folds over the centroid literal (no shuffle); the only
-    exchange left is the candidate join on cluster_id — which IS the
-    IVF bucket lookup, and at rest would be partition pruning against
-    a corpus bucketed by cluster_id on disk."""
+    assign='literal' (default, right for ≤~10⁴ centroids): corpus
+    assignment and per-query probe selection are narrow folds over the
+    centroid plan-literal (no shuffle); the only exchange left is the
+    candidate join on cluster_id — which IS the IVF bucket lookup, and
+    at rest would be partition pruning against a corpus bucketed by
+    cluster_id on disk.
+    assign='join' (the >10⁴-centroid scale path): corpus assignment
+    via broadcast-join + map-side-partial max_by (no N×C shuffle,
+    see assign_clusters_join); probe selection via a window over the
+    (small) queries × centroids expansion. Results are identical —
+    pinned by test_ivf_join_assignment_matches_literal."""
     cents = deterministic_centroids(corpus, id_col, vec_col, stride)
-    cent_arr = _centroid_literal_array(cents, vec_col)
-    corpus_assigned = corpus.withColumn(
-        "cluster_id", F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))["cid"]
-    )
-
-    # nprobe nearest clusters per query: sort the rank structs
-    # descending (reverse of the ascending lexicographic sort → sim
-    # desc, centroid_id asc on ties), take nprobe, explode
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    top_probes = F.slice(
-        F.reverse(F.array_sort(_centroid_rank_structs(F.col("qv"), cent_arr))),
-        1,
-        nprobe,
-    )
-    probes = q.select(
-        "query_id", "qv", F.explode(top_probes.getField("cid")).alias("cluster_id")
-    )
+    if assign == "join":
+        corpus_assigned = assign_clusters_join(corpus, cents, id_col, vec_col)
+        cp = _centroids_prepped(cents, vec_col)
+        qs = (F.aggregate(
+            F.zip_with(F.col("qv").cast("array<double>"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ) / F.col("cnrm")).alias("__s")
+        pw = Window.partitionBy("query_id").orderBy(
+            F.col("__s").desc(), F.col("cluster_id").asc()
+        )
+        probes = (
+            q.join(F.broadcast(cp))
+            .select("query_id", "qv", F.col("cid").alias("cluster_id"), qs)
+            .withColumn("__pr", F.row_number().over(pw))
+            .where(F.col("__pr") <= nprobe)
+            .drop("__s", "__pr")
+        )
+    else:
+        cent_arr = _centroid_literal_array(cents, vec_col)
+        corpus_assigned = corpus.withColumn(
+            "cluster_id",
+            F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))["cid"],
+        )
+        # nprobe nearest clusters per query: sort the rank structs
+        # descending (reverse of the ascending lexicographic sort →
+        # sim desc, centroid_id asc on ties), take nprobe, explode
+        top_probes = F.slice(
+            F.reverse(F.array_sort(_centroid_rank_structs(F.col("qv"), cent_arr))),
+            1,
+            nprobe,
+        )
+        probes = q.select(
+            "query_id", "qv", F.explode(top_probes.getField("cid")).alias("cluster_id")
+        )
 
     cand = probes.join(
         corpus_assigned.select(

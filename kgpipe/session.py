@@ -37,9 +37,14 @@ def get_spark(
         os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
 
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
-    cores = _parse_local_cores(master)
+    cores = _infer_parallelism(master, extra_conf or {})
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # local: one shuffle partition per core (bench-stable); cluster:
+        # 2× total executor cores — the standard headroom so AQE can
+        # coalesce down rather than tasks straggle up
+        shuffle_partitions = (
+            max(cores, 8) if master.startswith("local") else max(2 * cores, 64)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -101,4 +106,30 @@ def _parse_local_cores(master: str) -> int:
             return int(inner)
         except ValueError:
             return 8
+    return 32
+
+
+def _infer_parallelism(master: str, conf: dict) -> int:
+    """Total parallel task slots for sizing decisions (shuffle
+    partitions, minimum input splits). Local masters parse the thread
+    count; cluster masters derive executor topology from the session
+    conf (spark.executor.instances × spark.executor.cores — also
+    SPARK_GRAFT_EXECUTORS/SPARK_GRAFT_EXECUTOR_CORES env for
+    spark-submit setups whose conf the caller doesn't thread through).
+    Unknown topology (e.g. dynamic allocation) falls back to 32 —
+    AQE coalescing absorbs overshoot either way."""
+    if master.startswith("local"):
+        return _parse_local_cores(master)
+
+    def _geti(conf_key: str, env_key: str) -> int:
+        raw = conf.get(conf_key) or os.environ.get(env_key) or 0
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            return 0
+
+    instances = _geti("spark.executor.instances", "SPARK_GRAFT_EXECUTORS")
+    cores = _geti("spark.executor.cores", "SPARK_GRAFT_EXECUTOR_CORES")
+    if instances > 0 and cores > 0:
+        return instances * cores
     return 32

@@ -23,6 +23,24 @@ PAGES_DDL = (
 )
 
 
+def write_epoch_idempotent(rows: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Sink-side idempotence for foreachBatch (which is AT-LEAST-once:
+    a batch that fails after a partial — or complete — write is
+    re-delivered with the SAME epoch_id). Each epoch lands in its own
+    `epoch_id=<id>` partition via dynamic partition overwrite, so a
+    retry REPLACES exactly its own partition's files instead of
+    appending duplicates; other epochs' partitions are untouched."""
+    from pyspark.sql import functions as F
+
+    (
+        rows.withColumn("epoch_id", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_dir)
+    )
+
+
 def incremental_triples(
     spark: SparkSession,
     pages_dir: str,
@@ -32,9 +50,12 @@ def incremental_triples(
     mode: str = "lpm",
 ) -> int:
     """Process pages files not yet seen by the streaming checkpoint:
-    extract → parse → abbreviate → append to out_dir. Returns the
+    extract → parse → abbreviate → write to out_dir. Returns the
     number of batches processed (0 ⇒ nothing new). Exactly-once per
-    input file via the checkpoint; safe to run on a schedule."""
+    input file via the checkpoint, and exactly-once per OUTPUT row
+    via epoch-partitioned dynamic overwrite (write_epoch_idempotent) —
+    a foreachBatch retry after a crash rewrites its own epoch
+    partition instead of duplicating it."""
     from kgpipe.nt.rules import parse_rules
     from kgpipe.operators.abbrev import abbreviate_columns
     from kgpipe.operators.extract import with_extracted_text
@@ -52,7 +73,7 @@ def incremental_triples(
             rules,
             mode=mode,
         )
-        rows.write.mode("append").parquet(out_dir)
+        write_epoch_idempotent(rows, out_dir, epoch_id)
         n_batches["n"] += 1
 
     q = (

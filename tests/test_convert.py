@@ -224,3 +224,46 @@ def test_convert_cli_nt_compat_byte_identical_to_perl(spark, tmp_path):
             with open(out / name) as f:
                 got.update(line.rstrip("\n") for line in f)
     assert got == perl_lines(FRAMING_LINES, RULES)
+
+
+def test_q8_fragmentation_parity_and_divergence(spark):
+    """Quirk Q8 (ntto.go:188-197): the reference's 4096-byte
+    bufio.ReadLine splits an over-long line into buffer-sized
+    fragments, each fed to the parser as a full line. With
+    fragment_bytes=4096 kgpipe reproduces that exactly; without it,
+    the whole line parses as ONE triple (documented divergence,
+    SURVEY.md §2c)."""
+    # an ~9KB line whose object is ONE giant token: the head fragment
+    # still parses (mangled triple), the middle/tail fragments have
+    # <3 tokens and quarantine — both faces of the quirk
+    long_obj = "a" * 9000
+    line = f'<http://d-nb.info/gnd/1> <http://schema.org/desc> "{long_obj}" .'
+    assert len(line) > 2 * 4096
+    rw = PrefixRewriter(RULES, mode="compat")
+    abbreviated = rw.rewrite_term(line)
+
+    # expected under the reference: chunk the abbreviated line at 4096,
+    # parse each fragment independently (broken fragments quarantine)
+    expected = collections.Counter()
+    n_err = 0
+    for i in range(0, len(abbreviated), 4096):
+        frag = abbreviated[i : i + 4096]
+        try:
+            expected[parse_ntriple(frag)] += 1
+        except NTParseError:
+            n_err += 1
+    assert len(expected) >= 1 and n_err >= 1  # the quirk actually bites
+
+    df = spark.createDataFrame([(line,)], "value string")
+    frag_rows = convert_nt_lines(df, RULES, mode="compat", fragment_bytes=4096).collect()
+    got = collections.Counter(
+        (r.s, r.p, r.o) for r in frag_rows if r.error is None
+    )
+    got_err = sum(1 for r in frag_rows if r.error is not None)
+    assert got == expected
+    assert got_err == n_err
+
+    # divergence mode (default): one clean triple, object intact
+    whole = convert_nt_lines(df, RULES, mode="compat").collect()
+    assert len(whole) == 1 and whole[0].error is None
+    assert whole[0].o == long_obj

@@ -78,3 +78,40 @@ def test_sameas_edges_from_triples(spark):
         for r in sameas_edges_from_triples(triples, "owl:sameAs").collect()
     }
     assert got == {("a", "b"), ("b", "a")}
+
+
+def test_degenerate_bucket_dropped_before_reduce(spark):
+    """Skew guard shape: a pathological bucket (here 20k identical
+    texts → every band collides) must be removed by a broadcast
+    anti-join BEFORE the final aggregation's exchange, so no reduce
+    task ever streams it — and the healthy pairs still come through.
+    Pinned both behaviorally and structurally (plan shows the
+    LeftAnti broadcast join feeding the partial aggregate)."""
+    from kgpipe.operators.link import banded_rows, capped_buckets, lsh_candidate_pairs, char_shingles, minhash_signature
+
+    n_degen = 20_000
+    degen = spark.range(n_degen).select(
+        F.concat(F.lit("http://spam.example/page"), F.col("id").cast("string")).alias("uri"),
+        F.lit("identical boilerplate text body").alias("norm"),
+    )
+    pair = spark.createDataFrame(
+        [("http://a.example/x", "shared-near-dup-text-abcdefgh"),
+         ("http://b.example/x", "shared-near-dup-text-abcdefgh")],
+        ["uri", "norm"],
+    )
+    df = degen.union(pair)
+    cands = lsh_candidate_pairs(df, "uri", "norm", max_bucket=64)
+    got = {(r.a, r.b) for r in cands.collect()}
+    assert ("http://a.example/x", "http://b.example/x") in got
+    assert not any("spam.example" in a or "spam.example" in b for a, b in got)
+
+    # structural pin: oversize keys are anti-joined out via broadcast
+    # before the aggregation that materializes bucket state
+    sig = minhash_signature(char_shingles(F.col("norm"), 4), 32, 42)
+    banded = banded_rows(df, "uri", sig, 8, 4)
+    plan = (
+        capped_buckets(banded, 64, F.collect_list("uri").alias("ids"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan and "Broadcast" in plan, plan[:3000]
+    assert "partial_count" in plan  # oversize scan reduces map-side

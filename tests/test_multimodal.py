@@ -166,3 +166,66 @@ def test_wav_roundtrip_and_features(spark):
     # sine RMS = amp/sqrt(2); zero crossings = 2 per cycle
     assert abs(f.rms - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
     assert abs(f.zero_crossings - 2 * freq * dur) <= 4
+
+
+# ---- optional-codec tier (skip-if-absent, like the Iceberg seam) ----
+
+def _pil_present():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def test_compressed_seam_raises_without_pil(monkeypatch):
+    import kgpipe.operators.multimodal as mm
+
+    if _pil_present():
+        monkeypatch.setattr(mm, "_PIL_IMAGE", None)  # simulate absence
+    else:
+        monkeypatch.setattr(mm, "_PIL_IMAGE", "unchecked")  # real probe
+    with pytest.raises(mm.DecoderUnavailable):
+        mm._decode_compressed(b"\x89PNG\r\n\x1a\nnot-really-a-png")
+
+
+@pytest.mark.skipif(not _pil_present(), reason="PIL not installed in this container")
+def test_compressed_decode_via_pil_roundtrip():
+    """When pillow exists, the seam decodes real compressed rasters
+    and the result feeds the same ahash/feature path as PPM/BMP."""
+    import io
+
+    from PIL import Image
+
+    import kgpipe.operators.multimodal as mm
+
+    img = Image.new("RGB", (10, 6), (200, 30, 60))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, ph, feats = mm._decode_image_real(buf.getvalue())
+    assert (w, h) == (10, 6)
+    assert isinstance(ph, int) and len(feats) == 8
+
+
+def test_video_real_path_requires_ffmpeg(monkeypatch):
+    import kgpipe.operators.multimodal as mm
+
+    if mm._ffmpeg_path() is not None:
+        monkeypatch.setattr(mm, "_ffmpeg_path", lambda: None)
+    with pytest.raises(mm.DecoderUnavailable):
+        mm.sample_video_frames(object(), fake=False)
+
+
+@pytest.mark.skipif(__import__("shutil").which("ffmpeg") is None,
+                    reason="ffmpeg not installed in this container")
+def test_video_real_path_via_ffmpeg(spark):
+    import kgpipe.operators.multimodal as mm
+
+    media = spark.createDataFrame(
+        [("v1", "video", b"\x00\x00\x00 ftypisom fake", None)],
+        "media_id string, media_type string, payload binary, meta string",
+    )
+    # a fake payload will fail ffmpeg decode — the point is the seam
+    # routes through the binary; real clusters feed real containers
+    with pytest.raises(Exception):
+        mm.sample_video_frames(media, fake=False).collect()

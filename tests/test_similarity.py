@@ -89,3 +89,60 @@ def test_cosine_neardup_lsh_subset_of_exact(spark):
     assert planted <= exact
     # 16 bands of 2 bits at cos>=0.95: P(miss) ~ (1-0.81)^16 ~ 3e-12
     assert planted <= lsh
+
+
+def test_ivf_join_assignment_matches_literal(spark, emb):
+    """The >10⁴-centroid scale path (broadcast-join + map-side-partial
+    max_by) must assign every vector to the same cluster as the
+    plan-literal fold, and ivf_topk must return identical results
+    through both paths — including the full-probe == brute-force
+    equality."""
+    from kgpipe.operators.similarity import (
+        assign_clusters,
+        assign_clusters_join,
+        deterministic_centroids,
+    )
+
+    cents = deterministic_centroids(emb, stride=50)
+    lit = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(emb, cents, strategy="literal").collect()
+    }
+    join = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters_join(emb, cents).collect()
+    }
+    assert join == lit
+
+    queries = emb.limit(12)
+    a = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in ivf_topk(queries, emb, k=3, stride=50, nprobe=2).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in ivf_topk(queries, emb, k=3, stride=50, nprobe=2, assign="join").collect()
+    }
+    assert a == b
+
+    full_join = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(queries, emb, k=3, stride=50, nprobe=1000, assign="join").collect()
+    }
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    assert full_join == brute
+
+
+def test_join_assignment_partial_aggregates_before_exchange(spark, emb):
+    """Plan pin for the scale path: the N×C broadcast-join expansion
+    must be reduced by a partial max_by BEFORE the exchange — the
+    shuffle carries one row per corpus vector, never the expansion."""
+    from kgpipe.operators.similarity import assign_clusters_join, deterministic_centroids
+
+    plan = assign_clusters_join(emb, deterministic_centroids(emb, stride=50))._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan[:4000]
+    # the join side is a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -123,3 +123,31 @@ def test_windowed_stream_matches_batch(spark, tmp_path, sf_dir):
     got = {tuple(r) for r in streamed.collect()}
     exp = {tuple(r) for r in batch.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_epoch_write_idempotent_under_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that crashed after a
+    (partial or complete) write is re-delivered with the same
+    epoch_id. The epoch-partitioned dynamic overwrite must make the
+    retry replace its own output, never duplicate it — and leave
+    other epochs untouched."""
+    from kgpipe.streaming import write_epoch_idempotent
+
+    out = str(tmp_path / "epochs")
+    rows0 = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3")], "s string, p string, o string"
+    )
+    write_epoch_idempotent(rows0, out, epoch_id=0)
+    # simulate a partial first attempt of epoch 1 (half the rows), then
+    # the retry delivering the full batch again
+    rows1 = spark.createDataFrame([("s4", "p", "o4"), ("s5", "p", "o5")], "s string, p string, o string")
+    write_epoch_idempotent(rows1.limit(1), out, epoch_id=1)
+    write_epoch_idempotent(rows1, out, epoch_id=1)  # retry: full batch
+    # and a retry of an epoch that had fully committed
+    write_epoch_idempotent(rows0, out, epoch_id=0)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # 3 + 2, no duplicates from either retry
+    assert sorted(r.s for r in got.collect()) == ["s1", "s2", "s3", "s4", "s5"]
+    per_epoch = {r.epoch_id: r.n for r in got.groupBy("epoch_id").agg(F.count("*").alias("n")).collect()}
+    assert per_epoch == {0: 3, 1: 2}
