@@ -93,8 +93,52 @@ def _checkpoint_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int
     return out, (int(m["n"]), int(m["h"]))
 
 
+# below this many (distinct) edges the component structure fits the
+# driver trivially, and ~10 iterative shuffle jobs of fixed scheduler
+# latency dominate the actual work by 10-100× (measured: 9-12s of
+# star-rounds vs <1s of union-find for a 5k-edge graph). Mirrors the
+# IVF LITERAL_CENTROID_MAX pattern: adaptive strategy selection by
+# measured data size, with the distributed path untouched for scale.
+SMALL_GRAPH_MAX_EDGES = 200_000
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Exact union-find on a collected small edge set → the same
+    (uri, canon_id) contract as the star-rounds: every node appearing
+    in an edge maps to its component's lexicographic-min URI (roots
+    included, mapping to themselves)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = row["src"], row["dst"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by canonical order: smaller string becomes root,
+            # so the root IS the component minimum when all unions
+            # finish
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(v, find(v)) for v in parent]
+    return e.sparkSession.createDataFrame(rows, "uri string, canon_id string")
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 25,
+    rounds_per_checkpoint: int = 2,
+    small_graph_max_edges: int | None = SMALL_GRAPH_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) → canonical_map(uri, canon_id).
 
@@ -102,6 +146,13 @@ def connected_components(
     that appear only as component minima map to themselves; callers
     union singleton nodes separately if they track a node universe
     wider than the edge set (see canonical_map_for_nodes).
+
+    Strategy is adaptive: edge sets at or under small_graph_max_edges
+    (probed with an early-stopping limit+count, one cheap job) are
+    solved exactly by driver union-find — identical output, none of
+    the iterative fixed job latency; larger sets run the distributed
+    alternating-star rounds. Pass small_graph_max_edges=None/0 to
+    force the distributed path (tests pin both produce equal maps).
     """
     e = (
         edges.select("src", "dst")
@@ -109,31 +160,59 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    # materialize the input ONCE before iterating: round 1 references
-    # e twice (symmetrization), and without this the entire upstream
-    # edge derivation (scans, distincts, normalization) recomputes
-    # per reference — measured as the bulk of round-1 latency.
-    # persist + count rather than localCheckpoint: checkpointing a
-    # complex plan (windows + unions, e.g. the LSH linker's) trips a
-    # Spark attribute-resolution bug ("key not found: src#N"), and
-    # lineage truncation is already handled by the per-round
-    # checkpoints. MEMORY_AND_DISK → spills, not OOM.
+    # materialize the input ONCE: the size probe and then either path
+    # (collect, or round 1's double reference through symmetrization)
+    # would otherwise recompute the whole upstream edge derivation
+    # (scans, distincts, normalization) per reference — measured as
+    # the bulk of round-1 latency. persist rather than localCheckpoint:
+    # checkpointing a complex plan (windows + unions, e.g. the LSH
+    # linker's) trips a Spark attribute-resolution bug ("key not
+    # found: src#N"). MEMORY_AND_DISK → spills, not OOM.
     from pyspark.storagelevel import StorageLevel
 
     e0 = e.persist(StorageLevel.MEMORY_AND_DISK)
-    e0.count()
     e = e0
+    if small_graph_max_edges:
+        # early-stopping probe: the limit caps how much of the edge
+        # set is materialized to answer "bigger than the threshold?"
+        probe = e0.limit(small_graph_max_edges + 1).count()
+        if probe <= small_graph_max_edges:
+            out = _driver_union_find(e0)
+            e0.unpersist(blocking=False)
+            return out
     prev_fp = None
+    rounds = max(1, rounds_per_checkpoint)
     for it in range(max_iter):
-        e = _small_star(_large_star(e))
-        # one job per round: lineage-truncating checkpoint + the
-        # convergence fingerprint, fused via Observation
+        # batch rounds_per_checkpoint star-rounds into ONE job: the
+        # per-round cost at early-iteration sizes is fixed job latency
+        # (scheduler, stage setup, driver sync), so halving job count
+        # cuts it. CRITICAL: each intermediate round must be persisted
+        # — a round references its input several times (symmetrize ×2
+        # + the min-join), and Spark does not CSE DataFrame references,
+        # so an unpersisted round 1 would recompute inside round 2's
+        # plan (measured 2× SLOWER than unbatched). The cache fills
+        # during the single batched job; blocks are freed right after
+        # its checkpoint. Star operators are idempotent at the fixed
+        # point, so overshooting by one batch is harmless and the
+        # fingerprint equality still detects convergence exactly.
+        mids = []
+        for r in range(rounds):
+            e = _small_star(_large_star(e))
+            if r < rounds - 1:
+                e = e.persist(StorageLevel.MEMORY_AND_DISK)
+                mids.append(e)
+        # lineage-truncating checkpoint + convergence fingerprint,
+        # fused via Observation — one job per batch
         e, fp = _checkpoint_with_fingerprint(e)
+        for m in mids:
+            m.unpersist(blocking=False)
         if fp == prev_fp:
             break
         prev_fp = fp
     else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter * rounds} rounds"
+        )
     e0.unpersist(blocking=False)
 
     # at the fixed point the edge set is a star forest: (node → root)

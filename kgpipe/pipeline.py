@@ -81,11 +81,17 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
     _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
     triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
 
-    _stage_link_canonicalize(spark, triples, cfg, io, log)
+    # ONE fingerprint scan of the triples table, shared by both
+    # whole-stage checkpoints (link and materialize key their resume
+    # decision on the same input identity — computing it twice was a
+    # full extra pass over the table)
+    fp = _triples_fingerprint(triples)
+
+    _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
     cmap = io.read("canonical_map", CMAP_DDL)
 
-    _stage_materialize(spark, triples, cmap, cfg, io, log)
-    edges = io.read("edges", EDGES_DDL)
+    _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
+    edges = _read_edges(io)
 
     counters = {
         r["stage"]: {"n_in": r["n_in"], "n_out": r["n_out"], "n_err": r["n_err"]}
@@ -99,6 +105,18 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
         .collect()
     }
     return PipelineResult(triples=triples, canonical_map=cmap, edges=edges, counters=counters)
+
+
+def _read_edges(io: TableIO) -> DataFrame:
+    """Edges through the session catalog when its bucketed-table
+    metadata exists (same-session runs — joins on canon_s are then
+    exchange-free); plain parquet of the same files otherwise (a
+    fresh session resuming an old warehouse: the in-memory catalog
+    does not survive restarts, the data does)."""
+    try:
+        return io.read_bucketed("edges")
+    except Exception:
+        return io.read("edges", EDGES_DDL)
 
 
 def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointLog, rules: list[Rule]):
@@ -169,20 +187,27 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
     log.mark_done(stage, stats)
 
 
-def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLog):
+def _triples_fingerprint(triples) -> tuple[int, int]:
+    """(set fingerprint, row count) of the clean triple table — the
+    input-identity key for whole-stage checkpoints."""
+    row = triples.agg(
+        F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["fp"]), int(row["n"])
+
+
+def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLog, fp=None):
     """Shuffling stage: sameAs ∪ near-dup edges → connected
     components → canonical_map. Whole-stage checkpoint (part_id 0):
     the CC iteration is global, not per-partition."""
     stage = "link_canonicalize"
-    fp_row = triples.agg(
-        F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    fp = fp if fp is not None else _triples_fingerprint(triples)
     done = {
         (r["part_id"], r["fingerprint"], r["n_in"])
         for r in log.completed(stage).collect()
     }
-    if (0, fp_row["fp"], fp_row["n"]) in done and io.exists("canonical_map"):
+    if (0, fp[0], fp[1]) in done and io.exists("canonical_map"):
         return
 
     explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
@@ -222,23 +247,20 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     # shared across pipeline runs (tests, notebooks)
     edges.unpersist(blocking=False)
     stats = spark.createDataFrame(
-        [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
+        [(0, fp[0], fp[1], n_out, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)
 
 
-def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLog):
+def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLog, fp=None):
     stage = "materialize"
-    fp_row = triples.agg(
-        F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    fp = fp if fp is not None else _triples_fingerprint(triples)
     done = {
         (r["part_id"], r["fingerprint"], r["n_in"])
         for r in log.completed(stage).collect()
     }
-    if (0, fp_row["fp"], fp_row["n"]) in done and io.exists("edges"):
+    if (0, fp[0], fp[1]) in done and io.exists("edges"):
         return
 
     edges = edges_with_buckets(
@@ -246,11 +268,19 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
     )
     obs = Observation()
     edges = edges.observe(obs, F.count(F.lit(1)).alias("n"))
-    edges = edges.repartition(cfg.n_buckets, "part_id")
-    io.write(edges, "edges", mode="overwrite", partition_by=["part_id"])
+    # BUCKETED by canon_s: the shuffle is paid once here, and every
+    # downstream entity-keyed join/aggregation over edges runs with
+    # zero Exchange (plan-pinned in test_pipeline). The repartition
+    # uses the same HashPartitioning as bucketBy, so each task holds
+    # exactly one bucket → one file per bucket, writer count bounded.
+    edges = edges.repartition(cfg.n_buckets, F.col("canon_s"))
+    io.write_bucketed(
+        edges, "edges", bucket_by=["canon_s"], n_buckets=cfg.n_buckets,
+        sort_by=["canon_s"],
+    )
     n_out = obs.get["n"]
     stats = spark.createDataFrame(
-        [(0, fp_row["fp"], fp_row["n"], n_out, 0)],
+        [(0, fp[0], fp[1], n_out, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)

@@ -58,7 +58,9 @@ def test_cc_path_graph_converges_fast(spark):
     nodes = [f"p{k:03d}" for k in range(64)]
     edges = list(zip(nodes, nodes[1:]))
     edf = spark.createDataFrame(edges, ["src", "dst"])
-    cmap = connected_components(edf, max_iter=10)  # log2(64)=6 << 10
+    # force the distributed star rounds (the adaptive small-graph
+    # shortcut would otherwise solve this on the driver)
+    cmap = connected_components(edf, max_iter=10, small_graph_max_edges=0)
     rows = cmap.collect()
     assert {r.canon_id for r in rows} == {"p000"}
     assert {r.uri for r in rows} == set(nodes)
@@ -69,3 +71,25 @@ def test_cc_empty_edges(spark):
     ndf = spark.createDataFrame([("a",), ("b",)], ["uri"])
     got = {r.uri: r.canon_id for r in canonical_map_for_nodes(ndf, edf).collect()}
     assert got == {"a": "a", "b": "b"}
+
+
+def test_cc_small_graph_shortcut_equals_distributed(spark):
+    """Adaptive strategy selection must be invisible in results: the
+    driver union-find (small edge sets) and the distributed star
+    rounds produce the identical canonical map, including multi-way
+    merges, chains, and isolated roots."""
+    import random
+
+    rng = random.Random(99)
+    nodes = [f"http://ex.org/n/{k:03d}" for k in range(200)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        (r.uri, r.canon_id)
+        for r in connected_components(edf).collect()
+    }
+    dist = {
+        (r.uri, r.canon_id)
+        for r in connected_components(edf, small_graph_max_edges=0).collect()
+    }
+    assert fast == dist and fast

@@ -171,3 +171,23 @@ def test_fused_equals_chained(spark):
             fused.where(F.col("error").isNotNull()).count()
             == chained.where(F.col("error").isNotNull()).count()
         )
+
+
+def test_edges_written_bucketed_joins_without_exchange(spark, result):
+    """The materialize stage writes edges BUCKETED by canon_s, so a
+    self-join (any entity-keyed join) over the edge table needs no
+    Exchange — the shuffle was paid once at write time. Broadcast is
+    disabled so the plan must rely on the bucketing."""
+    edges = result.edges
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = edges.alias("a").join(
+            edges.alias("b"),
+            F.col("a.canon_s") == F.col("b.canon_s"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:3000]
+        assert j.count() >= edges.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
