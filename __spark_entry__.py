@@ -112,6 +112,56 @@ def q_nt_parse_abbrev(spark, sf_dir):
     return abbr.select("doc_id", "s", "p", "o")
 
 
+def q_abbrev_compat_lines(spark, sf_dir):
+    """The `ntto -a` surface: raw-line compat abbreviation through the
+    compiled single-pass trie engine (kgpipe.nt.rules), over the full
+    223-rule DefaultRules table. The oracle is an independently
+    generated chain of 223 nested literal replace() calls in DuckDB —
+    the sequential reference semantics spelled out rule by rule — so
+    the single-pass compilation is value-gated end to end."""
+    from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
+    from kgpipe.nt.rules import parse_rules
+    from kgpipe.operators.abbrev import abbreviate_lines
+
+    lines = _nt_uri_lines(_docs(spark, sf_dir)).withColumnRenamed("line", "value")
+    out = abbreviate_lines(lines, parse_rules(DEFAULT_RULES_TEXT), line_col="value")
+    return out.select("doc_id", F.col("value").alias("abbrev_line"))
+
+
+def _abbrev_compat_oracle_sql() -> str:
+    """Build the DuckDB oracle for q_abbrev_compat_lines: the same
+    line constructor as _nt_uri_lines, pushed through one literal
+    replace() per rule IN RULE ORDER (DuckDB replace is literal,
+    exactly the reference's sequential substitution)."""
+    from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
+    from kgpipe.nt.rules import parse_rules
+
+    rules = parse_rules(DEFAULT_RULES_TEXT)
+    base = (
+        "'<http://d-nb.info/gnd/' || cast(doc_id % 50 as varchar) || "
+        "'> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://dbpedia.org/resource/Entity' || cast(doc_id as varchar) || '> .'"
+    )
+    # DuckDB's binder recursion cap (~128) can't take 223 nested
+    # calls — chunk the rule order into chained CTE stages, 60 deep
+    # each; sequential order is preserved across stages
+    chunk = 60
+    ctes = [f"s0 as (select doc_id, {base} as v from documents)"]
+    for ci in range(0, len(rules), chunk):
+        expr = "v"
+        for r in rules[ci : ci + chunk]:
+            pfx = r.prefix.replace("'", "''")
+            rep = (r.shortcut + ":").replace("'", "''")
+            expr = f"replace({expr}, '{pfx}', '{rep}')"
+        ctes.append(
+            f"s{len(ctes)} as (select doc_id, {expr} as v from s{len(ctes) - 1})"
+        )
+    return (
+        "with " + ", ".join(ctes)
+        + f" select doc_id, v as abbrev_line from s{len(ctes) - 1}"
+    )
+
+
 def q_top_predicates(spark, sf_dir):
     t = _parse_docs_text(spark, sf_dir)
     return (
@@ -586,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nt_parse": q_nt_parse,
         "nt_parse_abbrev": q_nt_parse_abbrev,
+        "abbrev_compat_lines": q_abbrev_compat_lines,
         "top_predicates": q_top_predicates,
         "triples_distinct": q_triples_distinct,
         "sameas_canonical": q_sameas_canonical,
@@ -655,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
                    'dbp:Entity' || cast(doc_id as varchar) as o
             from documents
         """,
+        "abbrev_compat_lines": _abbrev_compat_oracle_sql(),
         "top_predicates": f"""
             with parsed as ({_PARSE_SQL_CTE})
             select p, count(*) as n from parsed
