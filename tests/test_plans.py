@@ -83,21 +83,27 @@ def test_ivf_assignment_no_shuffle(spark, sf_dir):
     assert "Python" not in plan  # pure Catalyst, no UDF
 
 
-def test_capped_buckets_single_exchange(spark):
-    """The pre-materialization cap (window count) and the bucket agg
-    hash-partition on the same keys → exactly one Exchange, and the
-    collect_list only runs on rows that survived the cap."""
+def test_capped_buckets_skew_guard_plan(spark):
+    """Two-phase cap: (1) a count-only aggregation (map-side partial)
+    finds oversized bucket keys; (2) a BROADCAST anti-join drops their
+    rows before the bucket aggregation's exchange — so no reduce task
+    ever streams a degenerate bucket. collect_list state is bounded by
+    the cap; the banded input is cache-persisted so the signature fold
+    runs once across both phases."""
     from kgpipe.operators.link import capped_buckets
 
     banded = spark.createDataFrame(
         [(i, i % 3, i % 5) for i in range(100)], "id long, band int, bh long"
     )
     plan = _plan(capped_buckets(banded, 16, F.collect_list("id").alias("ids")))
-    assert plan.count("Exchange hashpartitioning") == 1
-    # top-down plan order: aggregate(collect_list) above the size
-    # filter, which is above the Window that computes __n
-    assert plan.index("collect_list") < plan.index("Window")
-    assert "__n" in plan
+    # the oversize scan reduces map-side, its keys broadcast into a
+    # LeftAnti join below the final aggregation
+    assert "partial_count" in plan
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    # the final bucket agg is the only exchange of banded data rows;
+    # the size scan's exchange carries partially-counted keys only
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "InMemoryTableScan" in plan  # banded computed once, cached
 
 
 def test_canonicalize_broadcasts_map(spark):
