@@ -136,24 +136,34 @@ def main(argv: list[str] | None = None) -> int:
                 lines = spark.read.text(path)
                 rules = parse_rules(_load_rules(args.rules))
                 null = args.null if args.null is not None else NULL_SENTINEL
+                from pyspark.storagelevel import StorageLevel
+
                 if args.format == "nt" and args.mode == "compat" and not args.no_abbrev:
                     # ntto -a without -j: the output IS the substituted
                     # raw line stream (byte-compatible, nothing parsed)
                     if args.strict:
-                        bad = (
-                            convert_nt_lines(lines, None, abbreviate=False)
-                            .where(F.col("error").isNotNull())
-                            .select("error")
-                            .first()
-                        )
-                        if bad is not None:
-                            print(f"kgpipe: {bad['error']}", file=sys.stderr)
-                            return 1
-                    out = lines
-                    if args.single_file:
-                        out = out.coalesce(1)
-                    write_nt_compat(out, rules, args.out, null=null)
-                    return 0
+                        # persist so the strict probe and the sink share
+                        # one read of the input
+                        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+                    try:
+                        if args.strict:
+                            bad = (
+                                convert_nt_lines(lines, None, abbreviate=False)
+                                .where(F.col("error").isNotNull())
+                                .select("error")
+                                .first()
+                            )
+                            if bad is not None:
+                                print(f"kgpipe: {bad['error']}", file=sys.stderr)
+                                return 1
+                        out = lines
+                        if args.single_file:
+                            out = out.coalesce(1)
+                        write_nt_compat(out, rules, args.out, null=null)
+                        return 0
+                    finally:
+                        if args.strict:
+                            lines.unpersist(blocking=False)
                 triples = convert_nt_lines(
                     lines, rules, mode=args.mode, null=null,
                     abbreviate=not args.no_abbrev,
@@ -162,21 +172,24 @@ def main(argv: list[str] | None = None) -> int:
                 if args.strict:
                     # persist so the strict probe and the write share one
                     # computation of the conversion
-                    from pyspark.storagelevel import StorageLevel
-
                     triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
-                    bad = triples.where(F.col("error").isNotNull()).select("error").first()
-                    if bad is not None:
-                        print(f"kgpipe: {bad['error']}", file=sys.stderr)
-                        return 1
-                clean = triples.where(F.col("error").isNull())
-                if args.single_file:
-                    clean = clean.coalesce(1)
-                if args.format == "ldj":
-                    write_ldj(clean, args.out)
-                else:
-                    write_nt(clean, args.out)
-                return 0
+                try:
+                    if args.strict:
+                        bad = triples.where(F.col("error").isNotNull()).select("error").first()
+                        if bad is not None:
+                            print(f"kgpipe: {bad['error']}", file=sys.stderr)
+                            return 1
+                    clean = triples.where(F.col("error").isNull())
+                    if args.single_file:
+                        clean = clean.coalesce(1)
+                    if args.format == "ldj":
+                        write_ldj(clean, args.out)
+                    else:
+                        write_nt(clean, args.out)
+                    return 0
+                finally:
+                    if args.strict:
+                        triples.unpersist(blocking=False)
             finally:
                 if stdin_tmp is not None:
                     try:

@@ -156,7 +156,7 @@ class TableIO:
         import hashlib
         import re
 
-        tag = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        tag = hashlib.md5(self.root.rstrip("/").encode()).hexdigest()[:8]
         safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
         return f"`kgpipe_b_{tag}_{safe}`"
 

@@ -107,7 +107,7 @@ def abbreviate_lines(
     and rule tables transparently take the per-rule sequential path).
     engine='jvm': pure expression fold, no Python workers — ~30×
     slower (see compat_replace_expr), but the plan stays JVM-only."""
-    from pyspark.sql import SparkSession, functions as F, types as T
+    from pyspark.sql import functions as F, types as T
 
     from kgpipe.nt.rules import NULL_SENTINEL
 
@@ -117,7 +117,9 @@ def abbreviate_lines(
         )
     if engine != "pandas":
         raise ValueError(f"unknown abbrev engine: {engine}")
-    spark = SparkSession.getActiveSession()
+    # the frame's own session, not getActiveSession() (thread-local —
+    # None from non-driver threads)
+    spark = df.sparkSession
     rewriter = PrefixRewriter(
         rules, mode="compat", null=null if null is not None else NULL_SENTINEL
     )

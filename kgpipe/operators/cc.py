@@ -180,6 +180,12 @@ def connected_components(
             out = _driver_union_find(e0)
             e0.unpersist(blocking=False)
             return out
+    # distributed path: fill the cache in full BEFORE iterating — the
+    # early-stopping probe may have cached only a few partitions, and
+    # round 1 references e twice (symmetrization); a cold reference
+    # recomputes the entire upstream derivation per use (measured as
+    # the bulk of round-1 latency)
+    e0.count()
     prev_fp = None
     rounds = max(1, rounds_per_checkpoint)
     for it in range(max_iter):

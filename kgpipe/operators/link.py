@@ -127,14 +127,17 @@ def capped_buckets(banded: DataFrame, max_bucket: int, *aggs) -> DataFrame:
     buckets are dropped by a having-filter on the final aggregation;
     the surviving collect_list state is bounded by max_bucket.
 
-    The banded input is persisted (MEMORY_AND_DISK) so the expensive
-    part — the per-row signature fold — runs ONCE: the oversize scan
-    fills the cache, the final aggregation reads it. The cached
-    blocks are dropped by the ContextCleaner when the result goes out
-    of scope (nothing long-lived holds the plan)."""
-    from pyspark.storagelevel import StorageLevel
-
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    The banded input is materialized ONCE via an eager localCheckpoint
+    so the expensive per-row signature fold doesn't run twice (once
+    for the oversize scan, once for the final aggregation). A
+    localCheckpoint, not persist: persist registers the plan in the
+    session CacheManager, which holds it until an explicit unpersist —
+    a leak per call in long-lived sessions — while checkpoint blocks
+    are reclaimed by the ContextCleaner as soon as the result frame is
+    garbage-collected. (Safe here: banded plans are select+posexplode
+    chains; the known Spark localCheckpoint issue bites window-bearing
+    plans only, see cc.py.)"""
+    banded = banded.localCheckpoint(eager=True)
     oversized = (
         banded.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("__sz"))

@@ -246,8 +246,13 @@ def _ffmpeg_sample_frames(
     → [(frame_idx, phash), ...]"""
     import subprocess
 
+    ffmpeg = _ffmpeg_path()
+    if ffmpeg is None:
+        # re-check on the EXECUTOR: the driver having ffmpeg does not
+        # mean worker images do
+        raise DecoderUnavailable("no ffmpeg binary on this worker's PATH")
     cmd = [
-        _ffmpeg_path(), "-v", "error", "-i", "pipe:0",
+        ffmpeg, "-v", "error", "-i", "pipe:0",
         "-vf", f"select=not(mod(n\\,{every_n})),scale=64:64",
         "-vsync", "vfr", "-frames:v", str(max_frames),
         "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1",

@@ -258,12 +258,14 @@ def assign_clusters_join(
     score = _dot(vd, F.col("cv")) / F.col("cnrm")
     expanded = df.join(F.broadcast(_centroids_prepped(centroids, vec_col)))
     others = [c for c in df.columns if c != id_col]
+    # column order mirrors the literal path (input order + cluster_id)
+    # so strategy='auto' never changes the output schema shape
     return expanded.groupBy(id_col).agg(
         F.max_by(F.col("cid"), F.struct(score.alias("s"), (-F.col("cid")).alias("n"))).alias(
             "cluster_id"
         ),
         *[F.any_value(F.col(c)).alias(c) for c in others],
-    ).select(id_col, *others, "cluster_id")
+    ).select(*df.columns, "cluster_id")
 
 
 # beyond this many centroids, plan-literal embedding (and the

@@ -112,7 +112,10 @@ def _read_edges(io: TableIO) -> DataFrame:
     metadata exists (same-session runs — joins on canon_s are then
     exchange-free); plain parquet of the same files otherwise (a
     fresh session resuming an old warehouse: the in-memory catalog
-    does not survive restarts, the data does)."""
+    does not survive restarts, the data does). Iceberg-catalog mode
+    reads through the Iceberg table directly."""
+    if io.catalog is not None:
+        return io.read("edges", EDGES_DDL)
     try:
         return io.read_bucketed("edges")
     except Exception:
@@ -273,11 +276,18 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
     # zero Exchange (plan-pinned in test_pipeline). The repartition
     # uses the same HashPartitioning as bucketBy, so each task holds
     # exactly one bucket → one file per bucket, writer count bounded.
+    # In Iceberg-catalog mode the session-catalog bucketed table would
+    # bypass the catalog (wrong identity for exists/read, no snapshot
+    # semantics) — there the catalog's own layout applies and we keep
+    # the catalog write path.
     edges = edges.repartition(cfg.n_buckets, F.col("canon_s"))
-    io.write_bucketed(
-        edges, "edges", bucket_by=["canon_s"], n_buckets=cfg.n_buckets,
-        sort_by=["canon_s"],
-    )
+    if io.catalog is None:
+        io.write_bucketed(
+            edges, "edges", bucket_by=["canon_s"], n_buckets=cfg.n_buckets,
+            sort_by=["canon_s"],
+        )
+    else:
+        io.write(edges, "edges", mode="overwrite", partition_by=["part_id"])
     n_out = obs.get["n"]
     stats = spark.createDataFrame(
         [(0, fp[0], fp[1], n_out, 0)],

@@ -23,6 +23,21 @@ PAGES_DDL = (
 )
 
 
+def _has_flat_parquet(spark: SparkSession, out_dir: str) -> bool:
+    """True iff out_dir exists and holds parquet files directly at its
+    root (the pre-epoch flat layout). Hadoop-FS so it works on any
+    cluster filesystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def write_epoch_idempotent(rows: DataFrame, out_dir: str, epoch_id: int) -> None:
     """Sink-side idempotence for foreachBatch (which is AT-LEAST-once:
     a batch that fails after a partial — or complete — write is
@@ -64,6 +79,14 @@ def incremental_triples(
     rules = parse_rules(rules_text)
     stream = spark.readStream.schema(PAGES_DDL).parquet(pages_dir)
 
+    # migration guard: an out_dir written by the pre-epoch layout has
+    # flat part-*.parquet files at the root; mixing epoch_id=N/
+    # directories into it breaks partition discovery for every reader
+    # ("conflicting directory structures"). Keep appending flat there
+    # (the documented at-least-once legacy behavior); fresh outputs
+    # get the idempotent epoch layout.
+    legacy_flat = _has_flat_parquet(spark, out_dir)
+
     n_batches = {"n": 0}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -73,7 +96,10 @@ def incremental_triples(
             rules,
             mode=mode,
         )
-        write_epoch_idempotent(rows, out_dir, epoch_id)
+        if legacy_flat:
+            rows.write.mode("append").parquet(out_dir)
+        else:
+            write_epoch_idempotent(rows, out_dir, epoch_id)
         n_batches["n"] += 1
 
     q = (
