@@ -127,17 +127,18 @@ def capped_buckets(banded: DataFrame, max_bucket: int, *aggs) -> DataFrame:
     buckets are dropped by a having-filter on the final aggregation;
     the surviving collect_list state is bounded by max_bucket.
 
-    The banded input is materialized ONCE via an eager localCheckpoint
-    so the expensive per-row signature fold doesn't run twice (once
-    for the oversize scan, once for the final aggregation). A
-    localCheckpoint, not persist: persist registers the plan in the
-    session CacheManager, which holds it until an explicit unpersist —
-    a leak per call in long-lived sessions — while checkpoint blocks
-    are reclaimed by the ContextCleaner as soon as the result frame is
-    garbage-collected. (Safe here: banded plans are select+posexplode
-    chains; the known Spark localCheckpoint issue bites window-bearing
-    plans only, see cc.py.)"""
-    banded = banded.localCheckpoint(eager=True)
+    The signature fold behind `banded` is evaluated twice (once per
+    phase) ON PURPOSE: every materialization alternative measured
+    worse or leaked — persist() pins the full banded set in the
+    session CacheManager until an explicit unpersist (a leak per call
+    in long-lived sessions, and no safe point to unpersist a lazy
+    result), and an eager localCheckpoint paid more in synchronous
+    write+read of all banded rows than the fold costs (measured 13.5s
+    vs 9.1s persist vs ~9s recompute for sf0.1 minhash). The sizes
+    pass is cheap beyond the fold itself: count() partial-aggregates
+    map-side, so its shuffle carries one row per (bucket, partition).
+    Callers that already hold a materialized banded frame simply pass
+    it in and pay the fold once."""
     oversized = (
         banded.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("__sz"))
