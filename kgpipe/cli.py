@@ -67,6 +67,14 @@ def main(argv: list[str] | None = None) -> int:
                          "N-sized fragments before parsing, like the "
                          "reference's 4096-byte bufio.ReadLine (ntto.go:188-197); "
                          "default keeps whole lines")
+    cv.add_argument("--dump-command", action="store_true",
+                    help="print the perl pipeline the reference would run for "
+                         "this input and rule set, then exit (ntto -c, "
+                         "ntto.go:154-157); nothing is executed")
+    cv.add_argument("--workers", type=int, default=4, metavar="P",
+                    help="rule-partition count for --dump-command (the "
+                         "reference's -w, default 4); Spark owns real "
+                         "parallelism so this only shapes the dumped command")
 
     run = sub.add_parser("run", help="run the full KG pipeline")
     run.add_argument("--pages", required=True, help="parquet dir of pages")
@@ -96,6 +104,18 @@ def main(argv: list[str] | None = None) -> int:
         from kgpipe.nt.rules import dump_rules, parse_rules
 
         print(dump_rules(parse_rules(_load_rules(args.rules))))
+        return 0
+
+    if args.cmd == "convert" and args.dump_command:
+        # ntto -c: print the constructed rewrite command and exit
+        # without executing anything (ntto.go:154-157; we print the
+        # pipeline itself, not the `> tmpfile` redirect ntto appends)
+        from kgpipe.nt.rules import NULL_SENTINEL, parse_rules, sedify
+
+        rules = parse_rules(_load_rules(args.rules))
+        null = args.null if args.null is not None else NULL_SENTINEL
+        print(sedify(rules, args.workers, "" if args.input == "-" else args.input,
+                     null=null))
         return 0
 
     from pyspark.sql import SparkSession

@@ -9,6 +9,7 @@ import json
 import os
 import subprocess
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -267,3 +268,44 @@ def test_q8_fragmentation_parity_and_divergence(spark):
     whole = convert_nt_lines(df, RULES, mode="compat").collect()
     assert len(whole) == 1 and whole[0].error is None
     assert whole[0].o == long_obj
+
+
+def test_q15_perl_regex_vs_literal_divergence_pinned():
+    """Quirk Q15: the reference's perl path substitutes with UNescaped
+    regex metacharacters — '.' in a rule prefix matches any byte — so
+    `http://dbpediaXorg/resource/Thing` rewrites under perl but NOT
+    under the literal `replace`-binary semantics our compat mode
+    implements (the path ntto itself prefers when the binary exists,
+    ntto.go:54-58). Pin both sides."""
+    wildcard_line = "http://dbpediaXorg/resource/Thing"
+    # live perl: the dot-wildcard fires
+    cmd = sedify(RULES, 1, "")
+    res = subprocess.run(cmd, shell=True, input=wildcard_line,
+                         capture_output=True, text=True)
+    assert res.stdout.rstrip("\n") == "dbp:Thing"
+    # kgpipe compat (literal, replace-binary semantics): untouched
+    rw = PrefixRewriter(RULES, mode="compat")
+    assert rw.rewrite_term(wildcard_line) == wildcard_line
+    got = rw.rewrite_series(pd.Series([wildcard_line])).tolist()
+    assert got == [wildcard_line]
+
+
+def test_convert_cli_dump_command_matches_sedify(capsys):
+    """ntto -c parity: --dump-command prints the exact perl pipeline
+    the reference would construct for the same rules/-w/-n, without
+    executing anything."""
+    from kgpipe.cli import main
+
+    rc = main(["convert", "input.nt", "--out", "/dev/null",
+               "--dump-command", "--workers", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.rstrip("\n")
+    assert out == sedify(RULES, 3, "input.nt")
+
+    rc = main(["convert", "input.nt", "--out", "/dev/null", "--dump-command",
+               "--workers", "2", "--null", "dbp"])
+    assert rc == 0
+    out2 = capsys.readouterr().out.rstrip("\n")
+    from kgpipe.nt.rules import sedify as sed
+    assert out2 == sed(RULES, 2, "input.nt", null="dbp")
+    assert "s@http://dbpedia.org/resource/@@g" in out2  # null strips
