@@ -192,6 +192,73 @@ class TableIO:
         metadata and re-shuffles)."""
         return self.spark.table(self._bucket_ident(name))
 
+    def table_bytes(self, name: str) -> int:
+        """Total bytes of a table's data files (recursive, Hadoop FS —
+        works on cluster storage)."""
+        fs, p = self._fs(self.path(name))
+        if not fs.exists(p):
+            return 0
+        total = 0
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                total += st.getLen()
+        return total
+
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        partition_by: list[str] | None = None,
+        schema: str | None = None,
+    ) -> int:
+        """Small-file compaction — the table-maintenance operation a
+        100 TB lakehouse lives or dies by (every incremental append
+        and fine-grained partition overwrite leaves small files, and
+        scan cost grows with file COUNT once files are under a row
+        group). Rewrites the table into ceil(bytes/target) files —
+        for a partitioned table, rows are clustered by the partition
+        columns so each partition directory collapses to one file —
+        then swaps directories via rename (parquet readers see either
+        the old or the new file set, never a mix; rename is atomic on
+        HDFS and posix, best-effort on object stores — there, prefer
+        the Iceberg catalog path below). Returns the new file-count
+        target.
+
+        With an Iceberg catalog configured, compaction is the
+        catalog's job (`CALL catalog.system.rewrite_data_files`) —
+        snapshot-safe, no reader disruption."""
+        if self.catalog is not None:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files("
+                f"table => '{self._ident(name)}')"
+            )
+            return -1
+        import math
+
+        size = self.table_bytes(name)
+        n = max(1, math.ceil(size / target_file_bytes))
+        df = self.read(name, schema)
+        tmp = f"{name}__compacting"
+        from pyspark.sql import functions as F
+
+        out = (
+            df.repartition(n, *[F.col(c) for c in partition_by])
+            if partition_by
+            else df.repartition(n)
+        )
+        w = out.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(tmp))
+        fs, old_p = self._fs(self.path(name))
+        _, tmp_p = self._fs(self.path(tmp))
+        fs.delete(old_p, True)
+        if not fs.rename(tmp_p, old_p):
+            raise IOError(f"compact: rename {tmp_p} -> {old_p} failed")
+        return n
+
     def drop(self, name: str) -> None:
         if self.catalog is not None:
             self.spark.sql(f"drop table if exists {self._ident(name)}")

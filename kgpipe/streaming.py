@@ -143,6 +143,82 @@ def windowed_event_counts(
     )
 
 
+DEDUP_STATE_DDL = "n_seen long"
+
+
+def dedup_stream(df: DataFrame, key_col: str, output_ddl: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: exact first-arrival
+    deduplication across micro-batches via applyInPandasWithState,
+    keyed by a fingerprint column. The FIRST row of each key ever
+    seen is emitted; every later row (same batch or any later
+    trigger) is dropped, with a per-key duplicate counter carried in
+    the state store.
+
+    The streaming-native counterpart of
+    kgpipe.operators.dedup.exact_dedup (which keeps min doc_id —
+    a retrospective batch contract); a stream cannot know a future
+    smaller id, so its contract is first-ARRIVAL-wins, the standard
+    incremental-ingest dedup semantics. State is one long per
+    distinct key: at 10^10 distinct documents that is tens of GB
+    spread across the state store's partitions — the same order as
+    Spark's own dropDuplicates state, but with an inspectable count
+    and no watermark requirement.
+
+    output_ddl must name the input columns (the emitted row is the
+    first-arriving input row, unchanged)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = df.columns
+
+    def fn(key, pdfs, state: GroupState):
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        rows = pd.concat(frames)
+        n_new = len(rows)
+        if state.exists:
+            (n_seen,) = state.get
+            state.update((n_seen + n_new,))
+            return  # key already emitted in an earlier trigger
+        state.update((n_new,))
+        # deterministic winner within the first-containing batch (a
+        # batch delivers group rows in partition order, which is not
+        # stable): the lexicographic-min row
+        yield rows.sort_values(cols).iloc[:1][cols]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, output_ddl, DEDUP_STATE_DDL, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "fingerprint",
+) -> DataFrame:
+    """Drive first-arrival dedup over parquet document files
+    (AvailableNow → parquet sink). Re-invoking after new files land
+    processes only them; keys already in the state store stay
+    deduplicated across invocations. Returns the cumulative output."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    out = dedup_stream(stream, key_col, ddl)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 SESSION_OUT_DDL = "user_id long, event_id long, session_seq long"
 SESSION_STATE_DDL = "n_sessions long, last_ts double"
 

@@ -95,3 +95,47 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("drop table if exists bk_a")
         spark.sql("drop table if exists bk_b")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Small-file compaction: a table fragmented into ~40 tiny files
+    collapses to the target count with identical content, and readers
+    see the swapped directory (same path, fewer files)."""
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(40).write.parquet(io.path("frag"))
+    n_before = sum(
+        1 for f in __import__("pathlib").Path(io.path("frag")).rglob("*.parquet")
+    )
+    assert n_before >= 30
+    before = sorted((r.id, r.v) for r in io.read("frag").collect())
+
+    n_target = io.compact("frag", target_file_bytes=1 << 30)  # everything fits one
+    assert n_target == 1
+    files = list(__import__("pathlib").Path(io.path("frag")).rglob("*.parquet"))
+    assert len(files) == 1
+    after = sorted((r.id, r.v) for r in io.read("frag").collect())
+    assert after == before
+    assert io.exists("frag")
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    """Partitioned compaction: each hive partition directory collapses
+    to one file; partition pruning still works on the result."""
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(900).select(
+        F.col("id"), (F.col("id") % 3).alias("part_id")
+    )
+    df.repartition(30).write.partitionBy("part_id").parquet(io.path("pfrag"))
+    before = sorted(r.id for r in io.read("pfrag").collect())
+
+    io.compact("pfrag", target_file_bytes=1 << 30, partition_by=["part_id"])
+    root = __import__("pathlib").Path(io.path("pfrag"))
+    for part in range(3):
+        pfiles = list((root / f"part_id={part}").glob("*.parquet"))
+        assert len(pfiles) == 1, (part, pfiles)
+    after = sorted(r.id for r in io.read("pfrag").collect())
+    assert after == before
+    assert io.read("pfrag").where(F.col("part_id") == 1).count() == 300

@@ -151,3 +151,36 @@ def test_epoch_write_idempotent_under_retry(spark, tmp_path):
     assert sorted(r.s for r in got.collect()) == ["s1", "s2", "s3", "s4", "s5"]
     per_epoch = {r.epoch_id: r.n for r in got.groupBy("epoch_id").agg(F.count("*").alias("n")).collect()}
     assert per_epoch == {0: 3, 1: 2}
+
+
+def test_dedup_stream_first_arrival_across_triggers(spark, tmp_path):
+    """Stateful streaming dedup: each fingerprint is emitted exactly
+    once — the first trigger that contains it wins, later files with
+    the same fingerprint add nothing, and new fingerprints in later
+    files still come through."""
+    from kgpipe.streaming import run_dedup_stream
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    spark.createDataFrame(
+        [(1, "fpA", "first A"), (2, "fpB", "first B"), (3, "fpA", "dup A same batch")],
+        "doc_id long, fingerprint string, text string",
+    ).write.mode("append").parquet(docs_dir)
+    first = run_dedup_stream(spark, docs_dir, out_dir, ckpt)
+    got1 = {(r.fingerprint) for r in first.collect()}
+    assert got1 == {"fpA", "fpB"}
+    assert first.count() == 2
+
+    # second batch: a cross-trigger duplicate and a new key
+    spark.createDataFrame(
+        [(4, "fpB", "dup B later trigger"), (5, "fpC", "first C")],
+        "doc_id long, fingerprint string, text string",
+    ).write.mode("append").parquet(docs_dir)
+    second = run_dedup_stream(spark, docs_dir, out_dir, ckpt)
+    rows = {r.fingerprint: r.doc_id for r in second.collect()}
+    assert set(rows) == {"fpA", "fpB", "fpC"}
+    assert rows["fpC"] == 5
+    assert rows["fpB"] == 2  # the first-trigger row, not the later duplicate
+    assert second.count() == 3
