@@ -219,12 +219,19 @@ class TableIO:
         scan cost grows with file COUNT once files are under a row
         group). Rewrites the table into ceil(bytes/target) files —
         for a partitioned table, rows are clustered by the partition
-        columns so each partition directory collapses to one file —
-        then swaps directories via rename (parquet readers see either
-        the old or the new file set, never a mix; rename is atomic on
-        HDFS and posix, best-effort on object stores — there, prefer
-        the Iceberg catalog path below). Returns the new file-count
-        target.
+        columns plus a content-derived salt sized so each partition
+        gets roughly its share of the file budget (a huge partition
+        is split across tasks, not funneled through one) — then swaps
+        directories old→aside, new→old, delete-aside, so a crash at
+        any point leaves a complete copy on disk and readers never
+        observe a deleted path (rename is atomic on HDFS/posix,
+        best-effort on object stores — there, prefer the Iceberg
+        path below). Returns the new file-count target.
+
+        Refuses tables written with write_bucketed: plain rewritten
+        files would invalidate the catalog's bucket metadata mid-job —
+        re-run write_bucketed to compact those (it already writes one
+        file per bucket).
 
         With an Iceberg catalog configured, compaction is the
         catalog's job (`CALL catalog.system.rewrite_data_files`) —
@@ -235,6 +242,11 @@ class TableIO:
                 f"table => '{self._ident(name)}')"
             )
             return -1
+        if self.spark.catalog.tableExists(self._bucket_ident(name).strip("`")):
+            raise ValueError(
+                f"compact: {name!r} is a bucketed table — re-run "
+                "write_bucketed instead"
+            )
         import math
 
         size = self.table_bytes(name)
@@ -243,20 +255,33 @@ class TableIO:
         tmp = f"{name}__compacting"
         from pyspark.sql import functions as F
 
-        out = (
-            df.repartition(n, *[F.col(c) for c in partition_by])
-            if partition_by
-            else df.repartition(n)
-        )
+        if partition_by:
+            # k files per partition value so the budget is shared,
+            # with a deterministic content salt (task-retry-safe)
+            n_vals = df.select(*partition_by).distinct().count() or 1
+            k = max(1, math.ceil(n / n_vals))
+            data_cols = [c for c in df.columns if c not in partition_by] or list(
+                partition_by
+            )
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.lit(k))
+            out = df.repartition(n, *[F.col(c) for c in partition_by], salt)
+        else:
+            out = df.repartition(n)
         w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(tmp))
+        # three-step swap: at no instant is the only copy deleted
         fs, old_p = self._fs(self.path(name))
         _, tmp_p = self._fs(self.path(tmp))
-        fs.delete(old_p, True)
+        _, aside_p = self._fs(self.path(f"{name}__precompact"))
+        fs.delete(aside_p, True)  # stale leftover from a crashed run
+        if not fs.rename(old_p, aside_p):
+            raise IOError(f"compact: rename {old_p} -> {aside_p} failed")
         if not fs.rename(tmp_p, old_p):
+            fs.rename(aside_p, old_p)  # restore before failing
             raise IOError(f"compact: rename {tmp_p} -> {old_p} failed")
+        fs.delete(aside_p, True)
         return n
 
     def drop(self, name: str) -> None:

@@ -28,11 +28,13 @@ def abbreviate_columns(
     """Rewrite each named string column through the broadcast rule
     table. Returns df with the columns replaced in place. `null`
     overrides the strip-sentinel shortcut (ntto -n)."""
-    from pyspark.sql import SparkSession, functions as F, types as T
+    from pyspark.sql import functions as F, types as T
 
     from kgpipe.nt.rules import NULL_SENTINEL
 
-    spark = SparkSession.getActiveSession()
+    # the frame's own session, not the thread-local active one (None
+    # on non-driver threads, e.g. foreachBatch callbacks)
+    spark = df.sparkSession
     rewriter = PrefixRewriter(rules, mode=mode, null=null if null is not None else NULL_SENTINEL)
     bc = spark.sparkContext.broadcast(rewriter)
 

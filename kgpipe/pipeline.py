@@ -280,14 +280,24 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
     # bypass the catalog (wrong identity for exists/read, no snapshot
     # semantics) — there the catalog's own layout applies and we keep
     # the catalog write path.
-    edges = edges.repartition(cfg.n_buckets, F.col("canon_s"))
     if io.catalog is None:
+        edges = edges.repartition(cfg.n_buckets, F.col("canon_s"))
         io.write_bucketed(
             edges, "edges", bucket_by=["canon_s"], n_buckets=cfg.n_buckets,
             sort_by=["canon_s"],
         )
     else:
-        io.write(edges, "edges", mode="overwrite", partition_by=["part_id"])
+        # full rebuild semantics: drop first — an overwrite on an
+        # existing partitioned Iceberg table degrades to dynamic
+        # partition overwrite, which would leave partitions absent
+        # from this run's output alive as stale rows. Cluster by
+        # part_id (one writer per partition), not canon_s, or every
+        # task opens a file per part_id it sees.
+        io.drop("edges")
+        io.write(
+            edges.repartition(cfg.n_buckets, F.col("part_id")),
+            "edges", mode="overwrite", partition_by=["part_id"],
+        )
     n_out = obs.get["n"]
     stats = spark.createDataFrame(
         [(0, fp[0], fp[1], n_out, 0)],

@@ -172,20 +172,32 @@ def dedup_stream(df: DataFrame, key_col: str, output_ddl: str) -> DataFrame:
     cols = df.columns
 
     def fn(key, pdfs, state: GroupState):
-        frames = [pdf for pdf in pdfs if len(pdf)]
-        if not frames:
+        # stream the chunks: a degenerate hot key (boilerplate
+        # fingerprint with millions of duplicates in one trigger) must
+        # never be concatenated into a single pandas frame — count and
+        # keep one candidate row per chunk instead
+        n_new = 0
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_new += len(pdf)
+            # deterministic winner within the first-containing batch
+            # (chunk order is not stable): running lexicographic min
+            cand = pdf.sort_values(cols).iloc[:1]
+            best = (
+                cand
+                if best is None
+                else pd.concat([best, cand]).sort_values(cols).iloc[:1]
+            )
+        if n_new == 0:
             return
-        rows = pd.concat(frames)
-        n_new = len(rows)
         if state.exists:
             (n_seen,) = state.get
             state.update((n_seen + n_new,))
             return  # key already emitted in an earlier trigger
         state.update((n_new,))
-        # deterministic winner within the first-containing batch (a
-        # batch delivers group rows in partition order, which is not
-        # stable): the lexicographic-min row
-        yield rows.sort_values(cols).iloc[:1][cols]
+        yield best[cols]
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn, output_ddl, DEDUP_STATE_DDL, "append", GroupStateTimeout.NoTimeout

@@ -88,8 +88,9 @@ def test_capped_buckets_skew_guard_plan(spark):
     finds oversized bucket keys; (2) a BROADCAST anti-join drops their
     rows before the bucket aggregation's exchange — so no reduce task
     ever streams a degenerate bucket. collect_list state is bounded by
-    the cap; the banded input is cache-persisted so the signature fold
-    runs once across both phases."""
+    the cap; the banded derivation is deliberately recomputed per
+    phase (measured cheaper than persist or checkpoint — see the
+    capped_buckets docstring)."""
     from kgpipe.operators.link import capped_buckets
 
     banded = spark.createDataFrame(
