@@ -14,6 +14,9 @@ Subcommands mirror the reference CLI surface
   explain    — print the physical plan of the extract stage without
                running it (ntto -c printed its shell command)
   incremental— process only new pages files (streaming AvailableNow)
+  compact    — small-file compaction of a warehouse table (atomic
+               directory swap; Iceberg rewrite_data_files in catalog
+               mode)
 `-w`-style parallelism is owned by spark-submit (--master local[N] /
 executor count), not by this CLI.
 
@@ -90,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
 
     dr = sub.add_parser("dump-rules", help="print active rules, sorted")
     dr.add_argument("--rules", default=None)
+
+    cp = sub.add_parser("compact", help="small-file compaction of a warehouse table")
+    cp.add_argument("--warehouse", required=True)
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--target-mb", type=int, default=128, help="target file size (MiB)")
+    cp.add_argument("--partition-by", default=None,
+                    help="comma-separated hive partition columns of the table")
 
     inc = sub.add_parser("incremental", help="ingest only new pages files")
     inc.add_argument("--pages", required=True)
@@ -246,6 +256,18 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             res = run_pipeline(spark, pages, cfg)
             print({"counters": res.counters})
+            return 0
+
+        if args.cmd == "compact":
+            from kgpipe.io import TableIO
+
+            io = TableIO(spark, args.warehouse)
+            n = io.compact(
+                args.table,
+                target_file_bytes=args.target_mb << 20,
+                partition_by=args.partition_by.split(",") if args.partition_by else None,
+            )
+            print({"table": args.table, "target_files": n})
             return 0
 
         if args.cmd == "incremental":

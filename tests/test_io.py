@@ -139,3 +139,16 @@ def test_compact_partitioned_preserves_layout(spark, tmp_path):
     after = sorted(r.id for r in io.read("pfrag").collect())
     assert after == before
     assert io.read("pfrag").where(F.col("part_id") == 1).count() == 300
+
+
+def test_compact_cli(spark, tmp_path):
+    from kgpipe.cli import main
+
+    io = TableIO(spark, str(tmp_path))
+    spark.range(500).repartition(20).write.parquet(io.path("t"))
+    rc = main(["compact", "--warehouse", str(tmp_path), "--table", "t",
+               "--target-mb", "1024"])
+    assert rc == 0
+    files = list(__import__("pathlib").Path(io.path("t")).rglob("*.parquet"))
+    assert len(files) == 1
+    assert io.read("t").count() == 500
