@@ -191,3 +191,23 @@ def test_edges_written_bucketed_joins_without_exchange(spark, result):
         assert j.count() >= edges.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_edges_read_falls_back_without_catalog_metadata(spark, warehouse, result):
+    """Cross-session resume: the in-memory catalog's bucketed-table
+    metadata dies with the session, the parquet files don't. Reading
+    edges after the metadata is gone must fall back to a plain
+    parquet read with identical rows (minus the exchange-free join
+    property, which only the catalog can provide)."""
+    from kgpipe.io import TableIO
+    from kgpipe.pipeline import _read_edges
+
+    io = TableIO(spark, warehouse)
+    before = sorted(
+        (r.canon_s, r.p, r.canon_o) for r in _read_edges(io).collect()
+    )
+    spark.sql(f"drop table if exists {io._bucket_ident('edges')}")
+    after = sorted(
+        (r.canon_s, r.p, r.canon_o) for r in _read_edges(io).collect()
+    )
+    assert after == before and before
