@@ -12,6 +12,16 @@ parse → abbreviate → link → canonicalize → materialize) over a
 seeded pages corpus whose size scales with the sf directory; query
 benchmarks run over the sf tables themselves. Input generation and
 warehouse setup are OUTSIDE the timed regions.
+
+Measurement protocol (shared noisy host — BENCH/BASELINE.md): the
+suite runs SPARK_GRAFT_BENCH_REPEATS times (default 3) in one
+session, each repetition gated on 1-min loadavg <
+SPARK_GRAFT_BENCH_LOADGATE (default 3.0, waits up to
+SPARK_GRAFT_BENCH_MAXWAIT seconds, default 120); the emitted
+"queries" are the per-query BEST across repetitions and "value" is
+their sum, so the committed round JSON IS the load-gated best-of-N
+evidence — no separate best-run table to diverge from. Per-rep raw
+timings and loads ship alongside under "reps"/"loads".
 """
 
 from __future__ import annotations
@@ -176,9 +186,24 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return timings
 
 
+def _gate_on_load(threshold: float, max_wait_s: float) -> float:
+    """Block until 1-min loadavg < threshold (or max_wait_s elapsed);
+    return the loadavg at release. Keeps co-tenant bursts on this
+    shared host out of the measured regions."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= threshold and (time.monotonic() - t0) < max_wait_s:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "3.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAXWAIT", "120"))
     sf = _sf_of(sf_dir)
 
     from kgpipe.session import get_spark
@@ -189,14 +214,26 @@ def main() -> None:
         shuffle_partitions=max(cpus, 8),
     )
     try:
-        timings = bench_queries(spark, sf_dir)
-        n_bulk = int(timings.pop("__n_bulk_lines"))
-        n_big = int(timings.pop("__n_big_lines"))
         n_pages = int(
             os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(int(PAGES_PER_SF * sf), 2000))
         )
-        pipe = bench_pipeline(spark, sf_dir, n_pages=n_pages)
-        timings["kg_pipeline"] = round(pipe["sec"], 3)
+        reps: list[dict] = []
+        loads: list[float] = []
+        n_bulk = n_big = 0
+        pipes: list[dict] = []
+        for _ in range(n_reps):
+            loads.append(round(_gate_on_load(load_gate, max_wait), 2))
+            t = bench_queries(spark, sf_dir)
+            n_bulk = int(t.pop("__n_bulk_lines"))
+            n_big = int(t.pop("__n_big_lines"))
+            pipe = bench_pipeline(spark, sf_dir, n_pages=n_pages)
+            t["kg_pipeline"] = round(pipe["sec"], 3)
+            pipes.append(pipe)
+            reps.append(t)
+        # per-query best across load-gated repetitions — the committed
+        # snapshot IS the best-of-N evidence
+        timings = {k: min(r[k] for r in reps) for k in reps[0]}
+        best_pipe = min(pipes, key=lambda p: p["sec"])
         total = round(sum(timings.values()), 3)
         out = {
             "metric": "kgpipe headline suite wall time",
@@ -205,9 +242,12 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "cpus": cpus,
-            "pipeline_triples": pipe["n_triples"],
-            "pipeline_edges": pipe["n_edges"],
-            "triples_per_sec": round(pipe["triples_per_sec"], 1),
+            "n_reps": n_reps,
+            "loads": loads,
+            "reps": reps,
+            "pipeline_triples": best_pipe["n_triples"],
+            "pipeline_edges": best_pipe["n_edges"],
+            "triples_per_sec": round(best_pipe["n_triples"] / timings["kg_pipeline"], 1),
             "parse_abbrev_lines_per_sec": round(n_bulk / timings["parse_abbrev_bulk"], 1),
             # the `kgpipe convert` fused path — ntto's actual job shape
             "convert_lines_per_sec": round(n_bulk / timings["convert_bulk"], 1),

@@ -267,7 +267,10 @@ def main(argv: list[str] | None = None) -> int:
                 target_file_bytes=args.target_mb << 20,
                 partition_by=args.partition_by.split(",") if args.partition_by else None,
             )
-            print({"table": args.table, "target_files": n})
+            if n is None:
+                print({"table": args.table, "compacted": "via catalog rewrite_data_files"})
+            else:
+                print({"table": args.table, "target_files": n})
             return 0
 
         if args.cmd == "incremental":

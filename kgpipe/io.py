@@ -185,6 +185,48 @@ class TableIO:
         w.option("path", self.path(name)).format("parquet").saveAsTable(
             ident.strip("`")
         )
+        # durable bucket-spec marker NEXT TO the files: the session
+        # catalog's bucketing metadata dies with the session, but the
+        # one-file-per-bucket layout it paid for persists — compact()
+        # in a FRESH session must still refuse to rewrite it into a
+        # non-bucketed layout. Leading underscore keeps the marker
+        # invisible to parquet file listings.
+        self._write_marker(name, {
+            "bucket_by": list(bucket_by),
+            "n_buckets": int(n_buckets),
+            "sort_by": list(sort_by or []),
+        })
+
+    _BUCKET_MARKER = "_kgpipe_bucket_spec.json"
+
+    def _write_marker(self, name: str, spec: dict) -> None:
+        import json
+
+        fs, p = self._fs(f"{self.path(name)}/{self._BUCKET_MARKER}")
+        out = fs.create(p, True)
+        # writeBytes(String), not write(byte[]): py4j resolves the
+        # bytearray call to the write(int) overload and drops the data
+        out.writeBytes(json.dumps(spec, ensure_ascii=True))
+        out.close()
+
+    def bucket_spec(self, name: str) -> dict | None:
+        """The durable bucket spec written by write_bucketed, or None
+        for unbucketed tables (or tables from older layouts)."""
+        import json
+
+        fs, p = self._fs(f"{self.path(name)}/{self._BUCKET_MARKER}")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            # commons-io (on Spark's classpath) — py4j cannot fill a
+            # Python bytearray in place through readFully
+            txt = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            return json.loads(txt)
+        finally:
+            stream.close()
 
     def read_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table THROUGH the catalog (a plain
@@ -206,13 +248,25 @@ class TableIO:
                 total += st.getLen()
         return total
 
+    # filesystem schemes whose rename is NOT atomic (object stores:
+    # rename = copy + delete, and a crashed "rename" can leave both or
+    # neither path) — the directory-swap compaction is refused there
+    _NON_ATOMIC_RENAME_SCHEMES = frozenset(
+        {"s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss", "cos", "swift"}
+    )
+
+    def _scheme(self) -> str | None:
+        from urllib.parse import urlparse
+
+        return urlparse(self.root).scheme or None
+
     def compact(
         self,
         name: str,
         target_file_bytes: int = 128 << 20,
         partition_by: list[str] | None = None,
         schema: str | None = None,
-    ) -> int:
+    ) -> int | None:
         """Small-file compaction — the table-maintenance operation a
         100 TB lakehouse lives or dies by (every incremental append
         and fine-grained partition overwrite leaves small files, and
@@ -223,31 +277,76 @@ class TableIO:
         gets roughly its share of the file budget (a huge partition
         is split across tasks, not funneled through one) — then swaps
         directories old→aside, new→old, delete-aside, so a crash at
-        any point leaves a complete copy on disk and readers never
-        observe a deleted path (rename is atomic on HDFS/posix,
-        best-effort on object stores — there, prefer the Iceberg
-        path below). Returns the new file-count target.
+        any point (including crash-then-retry: a missing live dir
+        with a surviving aside is restored BEFORE anything else, and
+        the aside is only deleted after the live path is verified
+        non-empty) leaves a complete copy on disk. Readers racing the
+        swap can observe a missing path for the instant between the
+        two renames — single-writer maintenance-window semantics, not
+        MVCC. Returns the new file-count target.
 
-        Refuses tables written with write_bucketed: plain rewritten
-        files would invalidate the catalog's bucket metadata mid-job —
-        re-run write_bucketed to compact those (it already writes one
-        file per bucket).
+        REFUSED on object stores (s3a/gs/abfs/…): their "rename" is
+        copy+delete, so the swap's crash-safety argument does not
+        hold — use the Iceberg catalog path there, whose
+        rewrite_data_files is snapshot-safe on any store.
+
+        Refuses tables written with write_bucketed (checked via both
+        the session catalog and the durable _kgpipe_bucket_spec.json
+        marker, so a fresh session cannot silently flatten a bucketed
+        layout): re-run write_bucketed to compact those (it already
+        writes one file per bucket).
 
         With an Iceberg catalog configured, compaction is the
         catalog's job (`CALL catalog.system.rewrite_data_files`) —
-        snapshot-safe, no reader disruption."""
+        snapshot-safe, no reader disruption; returns the procedure's
+        rewritten-file count (None if the procedure returns nothing)."""
         if self.catalog is not None:
-            self.spark.sql(
+            import re
+
+            ident = self._ident(name)
+            if not re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9_.]*", ident):
+                raise ValueError(f"compact: unsafe table identifier {ident!r}")
+            rows = self.spark.sql(
                 f"CALL {self.catalog}.system.rewrite_data_files("
-                f"table => '{self._ident(name)}')"
+                f"table => '{ident}')"
+            ).collect()
+            try:
+                return int(rows[0]["rewritten_data_files_count"])
+            except Exception:
+                return None
+        scheme = self._scheme()
+        if scheme in self._NON_ATOMIC_RENAME_SCHEMES:
+            raise ValueError(
+                f"compact: directory-swap compaction is unsafe on {scheme}:// "
+                "(rename is copy+delete, not atomic) — configure an Iceberg "
+                "catalog (TableIO(catalog=...)) and compact through "
+                "rewrite_data_files instead"
             )
-            return -1
-        if self.spark.catalog.tableExists(self._bucket_ident(name).strip("`")):
+        if (
+            self.spark.catalog.tableExists(self._bucket_ident(name).strip("`"))
+            or self.bucket_spec(name) is not None
+        ):
             raise ValueError(
                 f"compact: {name!r} is a bucketed table — re-run "
                 "write_bucketed instead"
             )
         import math
+
+        fs, old_p = self._fs(self.path(name))
+        _, aside_p = self._fs(self.path(f"{name}__precompact"))
+        if fs.exists(aside_p):
+            if self.exists(name):
+                # live table verified present — the aside is a stale
+                # leftover from a completed (or abandoned) run
+                fs.delete(aside_p, True)
+            else:
+                # a previous run crashed between the two renames: the
+                # aside IS the only complete copy — restore it first
+                fs.delete(old_p, True)
+                if not fs.rename(aside_p, old_p):
+                    raise IOError(
+                        f"compact: crash recovery rename {aside_p} -> {old_p} failed"
+                    )
 
         size = self.table_bytes(name)
         n = max(1, math.ceil(size / target_file_bytes))
@@ -272,15 +371,17 @@ class TableIO:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(tmp))
         # three-step swap: at no instant is the only copy deleted
-        fs, old_p = self._fs(self.path(name))
         _, tmp_p = self._fs(self.path(tmp))
-        _, aside_p = self._fs(self.path(f"{name}__precompact"))
-        fs.delete(aside_p, True)  # stale leftover from a crashed run
         if not fs.rename(old_p, aside_p):
             raise IOError(f"compact: rename {old_p} -> {aside_p} failed")
         if not fs.rename(tmp_p, old_p):
             fs.rename(aside_p, old_p)  # restore before failing
             raise IOError(f"compact: rename {tmp_p} -> {old_p} failed")
+        # delete the aside ONLY after verifying the live path took:
+        # self.exists checks for actual parquet data, not just a dir
+        if not self.exists(name):
+            fs.rename(aside_p, old_p)
+            raise IOError(f"compact: swapped-in table at {old_p} is empty — restored")
         fs.delete(aside_p, True)
         return n
 

@@ -84,9 +84,17 @@ def minhash_dup_pairs(
     sh = F.array_distinct(
         F.transform(word_shingles(F.col(text_col), shingle_k), lambda g: F.xxhash64(g))
     )
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    # EAGER: the (id, hashed-shingles) base is consumed three ways
+    # (signature fold → bands, and both sides of the verification
+    # join); checkpointing it once stops the shingle derivation from
+    # recomputing per consumer, and banded_rows(materialize=True)
+    # pins the signature fold so the two-phase skew guard pays it
+    # once (see banded_rows docstring for why not persist()).
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).localCheckpoint(
+        eager=True
+    )
     sig = minhash_signature(F.col("sh"), num_hashes)
-    banded = banded_rows(base, "id", sig, bands, r)
+    banded = banded_rows(base, "id", sig, bands, r, materialize=True)
     buckets = capped_buckets(banded, max_bucket, F.collect_list("id").alias("ids"))
     ids = F.array_sort(F.array_distinct(F.col("ids")))
     cand = (
@@ -165,7 +173,15 @@ def simhash_near_pairs(
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
-    base = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("h"))
+    # EAGER: the simhash fold (64 per-bit masks per gram — the
+    # heaviest signature derivation in the family) feeds the banded
+    # rows, which capped_buckets traverses twice; the (id, h) base is
+    # ONE long per row, so checkpointing it costs ~nothing and halves
+    # the operator (measured: the unmaterialized form doubled in the
+    # r3 bench when the two-phase skew guard landed).
+    base = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("h")
+    ).localCheckpoint(eager=True)
     banded = base.select(
         "id",
         "h",

@@ -90,6 +90,7 @@ def banded_rows(
     bands: int,
     rows_per_band: int,
     extra_cols: list[str] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id[, extra…], band, bh): one row per (row, band) with the
     band's slice hashed.
@@ -100,9 +101,22 @@ def banded_rows(
     that — CollapseProject merges Project-over-Project (inlining the
     fold into the per-band lambda, where a HOF re-evaluates it per
     element: measured 16× blowup), but nothing inlines a child
-    Project into a Generate's generator."""
+    Project into a Generate's generator.
+
+    materialize=True additionally pins the (id, sig) frame with an
+    EAGER localCheckpoint before the explode, so downstream consumers
+    that traverse the banded rows twice (capped_buckets' two-phase
+    skew guard) pay the signature fold ONCE. The checkpointed frame
+    is compact — num_hashes longs per row, no shingle arrays — so the
+    synchronous write+read costs far less than a second fold pass for
+    heavy folds; blocks are reclaimed by the ContextCleaner when the
+    frame is garbage-collected (unlike persist(), which pins the plan
+    in the session CacheManager until an explicit unpersist — a leak
+    from a lazy helper with no safe unpersist point)."""
     extras = list(extra_cols or [])
     sigd = df.select(F.col(id_col), *extras, sig.alias("__sig"))
+    if materialize:
+        sigd = sigd.localCheckpoint(eager=True)
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda j: F.xxhash64(F.slice(F.col("__sig"), j * rows_per_band + 1, rows_per_band)),
@@ -112,40 +126,56 @@ def banded_rows(
     )
 
 
-def capped_buckets(banded: DataFrame, max_bucket: int, *aggs) -> DataFrame:
+def capped_buckets(
+    banded: DataFrame,
+    max_bucket: int,
+    *aggs,
+    broadcast_key_limit: int = 4_000_000,
+) -> DataFrame:
     """groupBy(band, bh) with the size cap enforced BEFORE any
     degenerate bucket reaches a reducer.
 
     Two-phase shape: (1) a count-only aggregation finds oversized
     bucket keys — count() partial-aggregates map-side, so its
     exchange carries at most one row per (bucket, map partition) and
-    its output is the (tiny) oversize key set; (2) a BROADCAST
-    anti-join drops those keys from the banded rows while they are
-    still map-side, so no single reduce task ever streams a
+    its output is the (normally tiny) oversize key set, materialized
+    EAGERLY via localCheckpoint — this phase ran at action time
+    anyway, and materializing it yields a free driver-side key count;
+    (2) an anti-join drops those keys from the banded rows: BROADCAST
+    (map-side, no exchange of banded rows) while the key set is ≤
+    broadcast_key_limit, falling back to a shuffled sort-merge
+    anti-join on adversarial data where broadcasting the key set
+    itself would OOM the driver (SMJ streams both sorted sides, so
+    even a pathological bucket's rows pass through bounded memory).
+    In the normal regime no single reduce task ever streams a
     pathological bucket (empty text, boilerplate — at 10^12 docs such
     a bucket is a straggler at best, an OOM at worst). Singleton
     buckets are dropped by a having-filter on the final aggregation;
     the surviving collect_list state is bounded by max_bucket.
 
-    The signature fold behind `banded` is evaluated twice (once per
-    phase) ON PURPOSE: every materialization alternative measured
-    worse or leaked — persist() pins the full banded set in the
-    session CacheManager until an explicit unpersist (a leak per call
-    in long-lived sessions, and no safe point to unpersist a lazy
-    result), and an eager localCheckpoint paid more in synchronous
-    write+read of all banded rows than the fold costs (measured 13.5s
-    vs 9.1s persist vs ~9s recompute for sf0.1 minhash). The sizes
-    pass is cheap beyond the fold itself: count() partial-aggregates
-    map-side, so its shuffle carries one row per (bucket, partition).
-    Callers that already hold a materialized banded frame simply pass
-    it in and pay the fold once."""
+    The two phases traverse `banded` twice, so the cost of the
+    signature derivation behind it is a per-family decision made by
+    the CALLER: heavy folds (document minhash, simhash's 64-masks-
+    per-gram fold, hyperplane signatures) pass a banded frame whose
+    compact (id, sig) base is eagerly localCheckpoint-ed
+    (banded_rows(materialize=True)) and pay the fold once; cheap
+    folds (short-string URI minhash in lsh_candidate_pairs) simply
+    recompute — the sizes pass is cheap beyond the fold itself, since
+    count() partial-aggregates map-side and its shuffle carries one
+    row per (bucket, partition). persist() is never the answer here:
+    it pins the plan in the session CacheManager until an explicit
+    unpersist, which a lazy helper has no safe point to issue."""
     oversized = (
         banded.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("__sz"))
         .where(F.col("__sz") > max_bucket)
         .select("band", "bh")
+        .localCheckpoint(eager=True)
     )
-    kept = banded.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
+    if oversized.count() <= broadcast_key_limit:
+        kept = banded.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
+    else:
+        kept = banded.join(oversized.hint("shuffle_merge"), ["band", "bh"], "left_anti")
     return (
         kept.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("__bucket_n"), *aggs)

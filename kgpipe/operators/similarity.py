@@ -205,8 +205,11 @@ def cosine_neardup_pairs(
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sig = hyperplane_signature(F.col("v"), dim, n_bits, seed)
     # signature materialized under the Generate (same inlining trap as
-    # the minhash bands — see link.banded_rows)
-    sigd = base.select("id", sig.alias("__sig"))
+    # the minhash bands — see link.banded_rows) and EAGERLY pinned:
+    # the hyperplane fold is n_bits × dim hashes per row, and the
+    # two-phase skew guard walks the banded rows twice — the compact
+    # (id, sign-bits) frame checkpoints for ~nothing
+    sigd = base.select("id", sig.alias("__sig")).localCheckpoint(eager=True)
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
         lambda j: F.xxhash64(F.slice(F.col("__sig"), j * r + 1, r), j),
@@ -339,6 +342,8 @@ def ivf_topk(
     see assign_clusters_join); probe selection via a window over the
     (small) queries × centroids expansion. Results are identical —
     pinned by test_ivf_join_assignment_matches_literal."""
+    if assign not in ("literal", "join"):
+        raise ValueError(f"unknown assign strategy: {assign}")
     cents = deterministic_centroids(corpus, id_col, vec_col, stride)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if assign == "join":

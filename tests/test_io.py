@@ -152,3 +152,64 @@ def test_compact_cli(spark, tmp_path):
     files = list(__import__("pathlib").Path(io.path("t")).rglob("*.parquet"))
     assert len(files) == 1
     assert io.read("t").count() == 500
+
+
+def test_compact_crash_retry_recovers(spark, tmp_path):
+    """Crash-between-renames recovery: if a previous compact died
+    after moving the live dir aside (table path missing, __precompact
+    present), a retry must restore the aside FIRST — not overwrite
+    the tmp dir and delete the only surviving copy."""
+    io = TableIO(spark, str(tmp_path))
+    spark.range(300).repartition(10).write.parquet(io.path("ct"))
+    before = sorted(r.id for r in io.read("ct").collect())
+
+    # simulate the crash window: live dir moved aside, nothing else
+    os.rename(io.path("ct"), io.path("ct__precompact"))
+    assert not io.exists("ct")
+
+    # retry with a schema argument — the historical data-loss shape
+    # (read of the missing path returned empty instead of raising)
+    n = io.compact("ct", target_file_bytes=1 << 30, schema="id long")
+    assert n == 1
+    after = sorted(r.id for r in io.read("ct").collect())
+    assert after == before, "crash+retry must not lose the table"
+    assert not os.path.exists(io.path("ct__precompact"))
+
+
+def test_compact_stale_aside_with_live_table(spark, tmp_path):
+    """A stale __precompact next to a healthy live table is cleaned
+    up, and the LIVE table's content wins (the aside is the old
+    pre-compaction copy)."""
+    io = TableIO(spark, str(tmp_path))
+    spark.range(100).write.parquet(io.path("st__precompact"))  # stale old copy
+    spark.range(200).repartition(5).write.parquet(io.path("st"))
+    io.compact("st", target_file_bytes=1 << 30)
+    assert io.read("st").count() == 200
+    assert not os.path.exists(io.path("st__precompact"))
+
+
+def test_compact_refuses_object_store(spark):
+    """Directory-swap compaction must refuse object-store roots up
+    front (rename there is copy+delete, the crash-safety argument
+    does not hold) and point at the Iceberg path."""
+    io = TableIO(spark, "s3a://bucket/warehouse")
+    with pytest.raises(ValueError, match="Iceberg"):
+        io.compact("edges")
+
+
+def test_compact_refuses_bucketed_fresh_session(spark, tmp_path):
+    """The bucketed-table refusal must survive a session restart: the
+    session catalog's entry is gone, but the durable bucket-spec
+    marker still identifies the layout."""
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    io.write_bucketed(df, "bt", ["k"], 4)
+    try:
+        spec = io.bucket_spec("bt")
+        assert spec == {"bucket_by": ["k"], "n_buckets": 4, "sort_by": []}
+        # simulate a fresh session: drop only the catalog entry
+        spark.sql(f"drop table if exists {io._bucket_ident('bt')}")
+        with pytest.raises(ValueError, match="bucketed"):
+            io.compact("bt")
+    finally:
+        spark.sql(f"drop table if exists {io._bucket_ident('bt')}")

@@ -85,25 +85,45 @@ def test_ivf_assignment_no_shuffle(spark, sf_dir):
 
 def test_capped_buckets_skew_guard_plan(spark):
     """Two-phase cap: (1) a count-only aggregation (map-side partial)
-    finds oversized bucket keys; (2) a BROADCAST anti-join drops their
-    rows before the bucket aggregation's exchange — so no reduce task
-    ever streams a degenerate bucket. collect_list state is bounded by
-    the cap; the banded derivation is deliberately recomputed per
-    phase (measured cheaper than persist or checkpoint — see the
-    capped_buckets docstring)."""
+    finds oversized bucket keys, materialized eagerly; (2) a BROADCAST
+    anti-join drops their rows before the bucket aggregation's
+    exchange — so no reduce task ever streams a degenerate bucket.
+    collect_list state is bounded by the cap."""
     from kgpipe.operators.link import capped_buckets
 
     banded = spark.createDataFrame(
         [(i, i % 3, i % 5) for i in range(100)], "id long, band int, bh long"
     )
     plan = _plan(capped_buckets(banded, 16, F.collect_list("id").alias("ids")))
-    # the oversize scan reduces map-side, its keys broadcast into a
-    # LeftAnti join below the final aggregation
-    assert "partial_count" in plan
+    # phase 1 ran eagerly (localCheckpoint) — the returned plan holds
+    # only the anti-join + final aggregation: oversize keys broadcast
+    # into a LeftAnti below the final agg's exchange
     assert "LeftAnti" in plan and "Broadcast" in plan
-    # the final bucket agg is the only exchange of banded data rows;
-    # the size scan's exchange carries partially-counted keys only
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # the final bucket agg is the ONLY exchange of banded data rows
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_capped_buckets_broadcast_fallback(spark):
+    """Adversarial guard: when the oversize key set exceeds the
+    broadcast limit, the anti-join falls back to a shuffled sort-merge
+    join instead of force-broadcasting an unbounded key set into the
+    driver."""
+    from kgpipe.operators.link import capped_buckets
+
+    banded = spark.createDataFrame(
+        [(i, i % 3, i % 5) for i in range(100)], "id long, band int, bh long"
+    )
+    out = capped_buckets(
+        banded, 2, F.collect_list("id").alias("ids"), broadcast_key_limit=0
+    )
+    plan = _plan(out)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" not in plan
+    # results identical through either join strategy
+    ref = capped_buckets(banded, 2, F.collect_list("id").alias("ids"))
+    got = {(r.band, r.bh, tuple(sorted(r.ids))) for r in out.collect()}
+    exp = {(r.band, r.bh, tuple(sorted(r.ids))) for r in ref.collect()}
+    assert got == exp
 
 
 def test_canonicalize_broadcasts_map(spark):
