@@ -307,6 +307,69 @@ def assign_clusters(
     return df.withColumn("cluster_id", best["cid"])
 
 
+def _probe_clusters_join(q: DataFrame, cp: DataFrame, nprobe: int) -> DataFrame:
+    """Per-query nprobe nearest centroids for the >10⁴-centroid scale
+    path: nprobe rounds of broadcast-join + map-side-partial `max_by`,
+    each excluding the centroids already picked (carried as a bounded
+    array on the query side). Every exchange carries ONE row per
+    query — the Q×C expansion is reduced map-side each round and never
+    shuffled (the row_number-window predecessor shuffled the whole
+    expansion, which at 10⁶ centroids × a large query batch was the
+    operator's bottleneck). Compute cost is nprobe passes over the
+    expansion; nprobe is small by construction (the whole point of IVF
+    is nprobe ≪ n_clusters).
+
+    Tie-break matches the literal path and the assignment: highest
+    score, then lowest centroid id. Queries get min(nprobe, C) probes.
+    nprobe ≥ the centroid count means probe EVERYTHING — that case
+    short-circuits to a plain broadcast join (no selection, no
+    rounds); the query frame is re-pinned every few rounds so the
+    iterated plan stays shallow. → (query_id, qv, cluster_id)."""
+    # pin the prepped centroid table once: it re-enters the plan every
+    # round (and cp may derive from a corpus scan)
+    cp = cp.localCheckpoint(eager=True)
+    n_cents = cp.count()
+    if nprobe >= n_cents:
+        return q.join(F.broadcast(cp)).select(
+            "query_id", "qv", F.col("cid").alias("cluster_id")
+        )
+    score = (_dot(F.col("qv").cast("array<double>"), F.col("cv")) / F.col("cnrm")).alias(
+        "__s"
+    )
+    qcur = q.withColumn("__picked", F.array().cast("array<long>"))
+    for i in range(nprobe):
+        if i > 0 and i % 8 == 0:
+            qcur = qcur.localCheckpoint(eager=True)
+        expanded = qcur.join(F.broadcast(cp))
+        best = (
+            expanded.where(~F.array_contains(F.col("__picked"), F.col("cid")))
+            .select("query_id", "cid", score)
+            .groupBy("query_id")
+            .agg(
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("__s").alias("s"), (-F.col("cid")).alias("n")),
+                ).alias("__pick")
+            )
+        )
+        # left join: a query with fewer centroids than nprobe keeps
+        # its shorter probe list instead of vanishing
+        qcur = (
+            qcur.join(best, "query_id", "left")
+            .withColumn(
+                "__picked",
+                F.when(
+                    F.col("__pick").isNotNull(),
+                    F.array_append(F.col("__picked"), F.col("__pick")),
+                ).otherwise(F.col("__picked")),
+            )
+            .drop("__pick")
+        )
+    return qcur.select(
+        "query_id", "qv", F.explode(F.col("__picked")).alias("cluster_id")
+    )
+
+
 def deterministic_centroids(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", stride: int = 50
 ) -> DataFrame:
@@ -318,6 +381,71 @@ def deterministic_centroids(
     )
 
 
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+    assign_strategy: str = "auto",
+) -> DataFrame:
+    """Lloyd refinement of an initial centroid table, expressed as
+    DataFrame jobs — the 'train the IVF index' step (k-means|| style:
+    a deterministic seeding, here deterministic_centroids, followed
+    by distributed Lloyd iterations; Bahmani et al., VLDB'12). Per
+    iteration: assign every corpus vector to its nearest centroid
+    through the existing assignment paths (plan-literal fold ≤10⁴
+    centroids, broadcast-join + map-side max_by beyond), then
+    recenter by the element-wise mean — posexplode to (cluster_id,
+    pos, x) and ONE groupBy(cluster_id, pos) avg, dimension-agnostic
+    and partially aggregated map-side, so the shuffle carries at most
+    n_clusters × dim rows. Clusters that capture no vectors keep
+    their previous centroid (k stays fixed). Means are rounded to 9
+    decimals so results don't wobble with partition-order float
+    summation; the refined table keeps the (centroid_id, vec)
+    interface, so it slots into ivf_topk/assign_clusters unchanged.
+    """
+    cents = init_centroids.select("centroid_id", F.col(vec_col))
+    for _ in range(n_iter):
+        assigned = assign_clusters(
+            corpus.select(F.col(id_col), F.col(vec_col)),
+            cents,
+            id_col,
+            vec_col,
+            strategy=assign_strategy,
+        )
+        means = (
+            assigned.select(
+                "cluster_id",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+        )
+        new = (
+            means.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cluster_id").alias("centroid_id"),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("__new"),
+            )
+        )
+        # empty clusters survive with their previous centroid; eager
+        # checkpoint truncates the per-iteration lineage (the table is
+        # n_clusters rows — tiny)
+        cents = (
+            cents.join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("__new"), F.col(vec_col).cast("array<double>")).alias(
+                    vec_col
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -327,6 +455,7 @@ def ivf_topk(
     stride: int = 50,
     nprobe: int = 2,
     assign: str = "literal",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: search only the nprobe clusters nearest to
     each query. → (query_id, neighbor_id, score, rank).
@@ -339,31 +468,25 @@ def ivf_topk(
     cluster_id on disk.
     assign='join' (the >10⁴-centroid scale path): corpus assignment
     via broadcast-join + map-side-partial max_by (no N×C shuffle,
-    see assign_clusters_join); probe selection via a window over the
-    (small) queries × centroids expansion. Results are identical —
-    pinned by test_ivf_join_assignment_matches_literal."""
+    see assign_clusters_join); probe selection via an iterated
+    bounded max_by fold (_probe_clusters_join) whose exchanges carry
+    one row per query — the Q×C expansion is never shuffled. Results
+    are identical — pinned by
+    test_ivf_join_assignment_matches_literal."""
     if assign not in ("literal", "join"):
         raise ValueError(f"unknown assign strategy: {assign}")
     cents = deterministic_centroids(corpus, id_col, vec_col, stride)
+    if refine_iters > 0:
+        # 'train' the index: Lloyd-refine the deterministic seed —
+        # same (centroid_id, vec) interface, better-placed centroids,
+        # so recall at a fixed nprobe goes up on clustered data
+        cents = kmeans_refine_centroids(
+            corpus, cents, id_col, vec_col, n_iter=refine_iters, assign_strategy=assign
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if assign == "join":
         corpus_assigned = assign_clusters_join(corpus, cents, id_col, vec_col)
-        cp = _centroids_prepped(cents, vec_col)
-        qs = (F.aggregate(
-            F.zip_with(F.col("qv").cast("array<double>"), F.col("cv"), lambda x, y: x * y),
-            F.lit(0.0).cast("double"),
-            lambda acc, x: acc + x,
-        ) / F.col("cnrm")).alias("__s")
-        pw = Window.partitionBy("query_id").orderBy(
-            F.col("__s").desc(), F.col("cluster_id").asc()
-        )
-        probes = (
-            q.join(F.broadcast(cp))
-            .select("query_id", "qv", F.col("cid").alias("cluster_id"), qs)
-            .withColumn("__pr", F.row_number().over(pw))
-            .where(F.col("__pr") <= nprobe)
-            .drop("__s", "__pr")
-        )
+        probes = _probe_clusters_join(q, _centroids_prepped(cents, vec_col), nprobe)
     else:
         cent_arr = _centroid_literal_array(cents, vec_col)
         corpus_assigned = corpus.withColumn(
