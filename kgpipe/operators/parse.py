@@ -73,13 +73,23 @@ def parse_text_column(df, line_col: str, keep_cols: list[str]):
     return kept.mapInPandas(_parse, schema=out_schema)
 
 
-def parse_lines_to_triples(lines_df, line_col: str = "line"):
+def parse_lines_to_triples(lines_df, line_col: str = "line", with_frames: bool = False):
     """One-line-per-row variant (the reference's native input shape:
-    an NT file read as lines). lines(line) → (s, p, o, error)."""
+    an NT file read as lines). lines(line) → (s, p, o, error).
+
+    with_frames=True additionally carries the framing the parse
+    strips (kgpipe.nt.parser.FRAME_COLS: per-term bracket/quote runs
+    plus the dropped trailing token), which is what lets
+    sinks.write_nt emit byte-compatible `ntto -a` lines from PARSED
+    (possibly rewritten) triples."""
+    from kgpipe.nt.parser import FRAME_COLS
+
+    cols = ["s", "p", "o", "error"] + (FRAME_COLS if with_frames else [])
+    schema = ", ".join(f"{c} string" for c in cols)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = parse_nt_frame(pdf[line_col])
-            yield parsed[["s", "p", "o", "error"]]
+            parsed = parse_nt_frame(pdf[line_col], with_frames=with_frames)
+            yield parsed[cols]
 
-    return lines_df.mapInPandas(_parse, schema="s string, p string, o string, error string")
+    return lines_df.mapInPandas(_parse, schema=schema)

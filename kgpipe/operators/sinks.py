@@ -53,15 +53,44 @@ def write_nt_compat(
 
 
 def write_nt(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """triples(s, p, o, ...) → N-Triples-shaped lines `<s> <p> <o> .`.
+    """triples(s, p, o, ...) → N-Triples-shaped text lines.
 
-    NOT byte-identical to `ntto -a` output: this sink works from
-    PARSED terms, so abbreviated terms are emitted bare and only
-    still-full IRIs are re-bracketed. For byte-level parity with
-    `ntto -a` use `write_nt_compat`, which substitutes in place on
-    the raw line stream like the reference does. The triple VALUES
-    (after stripping framing) are identical between the two; this
-    form is the engine-native one for downstream parsed consumers."""
+    BYTE-compatible with `ntto -a` from the PARSED path when the
+    frame columns are present (parse with
+    `parse_lines_to_triples(..., with_frames=True)` — see
+    kgpipe.nt.parser.FRAME_COLS): each term is re-wrapped in exactly
+    the bracket/quote runs the parse stripped, and the dropped
+    trailing token (usually the ` .`) is re-appended verbatim, so for
+    canonically-spaced input the emitted line multiset byte-matches
+    the reference's perl pipeline output
+    (/root/reference/cmd/ntto/ntto.go:144-158) even after the terms
+    were rewritten in between (abbreviation, canonicalization).
+    Interior whitespace runs in multi-token objects collapse to
+    single spaces — inherent to the parsed form (quirk Q1); for
+    byte parity on raw un-parsed streams use `write_nt_compat`.
+
+    WITHOUT frame columns the sink falls back to a heuristic:
+    still-full IRIs are re-bracketed, everything else is emitted
+    bare, with a ` .` terminator — the engine-native shape, NOT
+    byte-identical to the reference."""
+    if {"s_pre", "s_suf", "p_pre", "p_suf", "o_pre", "o_suf", "tail"} <= set(
+        triples.columns
+    ):
+        def framed(c: str) -> F.Column:
+            return F.concat(
+                F.coalesce(F.col(f"{c}_pre"), F.lit("")),
+                F.col(c),
+                F.coalesce(F.col(f"{c}_suf"), F.lit("")),
+            )
+
+        line = F.concat(
+            F.concat_ws(" ", framed("s"), framed("p"), framed("o")),
+            F.when(
+                F.col("tail").isNotNull(), F.concat(F.lit(" "), F.col("tail"))
+            ).otherwise(F.lit("")),
+        )
+        triples.select(line.alias("value")).write.mode(mode).text(path)
+        return
 
     def term(c: str) -> F.Column:
         # IRIs keep angle brackets only if they still look like IRIs

@@ -56,6 +56,43 @@ def write_epoch_idempotent(rows: DataFrame, out_dir: str, epoch_id: int) -> None
     )
 
 
+def migrate_epoch_layout(spark: SparkSession, out_dir: str) -> int:
+    """One-shot migration of a pre-epoch FLAT output directory into
+    the epoch-partitioned layout: every parquet file at the root
+    MOVES (a rename — no rewrite; the epoch value lives in the
+    directory name, not in the files) into an `epoch_id=-1/`
+    partition. After migration the legacy-flat guard in
+    incremental_triples no longer fires, so subsequent runs write
+    retry-idempotent `epoch_id=N` partitions — the at-least-once
+    caveat the flat layout carried is retired. -1 can never collide
+    with a real foreachBatch epoch id.
+
+    Idempotent and crash-resumable: a migration that dies mid-way
+    leaves some files moved and some flat; re-running moves the rest.
+    Run it OFFLINE (between jobs): while files are mid-move the
+    directory holds a mixed layout that breaks partition discovery
+    for concurrent readers, and any epoch of a crashed PRIOR run that
+    has not committed to the streaming checkpoint yet would replay
+    after migration and duplicate its flat-era rows — migrate only
+    when the last run completed. Returns the number of files moved."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    dest = jvm.org.apache.hadoop.fs.Path(root, "epoch_id=-1")
+    moved = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            if moved == 0:
+                fs.mkdirs(dest)
+            if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dest, name)):
+                raise IOError(f"migrate_epoch_layout: rename of {name} failed")
+            moved += 1
+    return moved
+
+
 def incremental_triples(
     spark: SparkSession,
     pages_dir: str,
@@ -84,7 +121,8 @@ def incremental_triples(
     # directories into it breaks partition discovery for every reader
     # ("conflicting directory structures"). Keep appending flat there
     # (the documented at-least-once legacy behavior); fresh outputs
-    # get the idempotent epoch layout.
+    # get the idempotent epoch layout. Retire the caveat with a
+    # one-shot offline `migrate_epoch_layout(spark, out_dir)`.
     legacy_flat = _has_flat_parquet(spark, out_dir)
 
     n_batches = {"n": 0}
@@ -212,23 +250,31 @@ def run_dedup_stream(
     key_col: str = "fingerprint",
 ) -> DataFrame:
     """Drive first-arrival dedup over parquet document files
-    (AvailableNow → parquet sink). Re-invoking after new files land
-    processes only them; keys already in the state store stay
-    deduplicated across invocations. Returns the cumulative output."""
+    (AvailableNow). Re-invoking after new files land processes only
+    them; keys already in the state store stay deduplicated across
+    invocations. Returns the cumulative output (minus the internal
+    epoch_id partition column).
+
+    Delivery contract: EXACTLY-once per output row. The sink is
+    foreachBatch → write_epoch_idempotent — each epoch lands in its
+    own `epoch_id=N` partition under dynamic overwrite, so a
+    re-delivered epoch (foreachBatch is at-least-once) replaces its
+    own files instead of appending duplicates. Chosen over the file
+    sink's own commit log so foreachBatch consumers that copy this
+    pattern inherit an idempotent shape rather than a bare append."""
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     out = dedup_stream(stream, key_col, ddl)
     q = (
         out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
+        .foreachBatch(lambda rows, epoch_id: write_epoch_idempotent(rows, out_dir, epoch_id))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("epoch_id")
 
 
 SESSION_OUT_DDL = "user_id long, event_id long, session_seq long"
@@ -292,10 +338,17 @@ def run_sessionize_stream(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Drive stateful sessionization over parquet event files
-    (AvailableNow → parquet sink; the memory sink cannot recover
+    (AvailableNow → parquet file sink; the memory sink cannot recover
     from a checkpoint). Re-invoking after new files land processes
     only them and continues each user's session numbering from the
-    persisted state store. Returns the cumulative output table."""
+    persisted state store. Returns the cumulative output table.
+
+    Delivery contract: EXACTLY-once per output row, provided by the
+    parquet FILE SINK's own transaction log (_spark_metadata): a
+    replayed epoch's files are recorded once and readers go through
+    the log. This holds only for Spark's file sink — a foreachBatch
+    consumer writing parquet itself gets at-least-once and must use
+    write_epoch_idempotent (see run_dedup_stream) instead."""
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     out = sessionize_stream(stream, gap_minutes)
@@ -318,7 +371,13 @@ def run_windowed_stream(
     query_name: str = "kgpipe_windowed",
 ) -> DataFrame:
     """Drive the windowed aggregation as a real stream over parquet
-    files (AvailableNow → memory sink), return the result table."""
+    files (AvailableNow → memory sink), return the result table.
+
+    Delivery contract: complete-mode memory sink — the table is the
+    full recomputed result each trigger, driver-memory-resident and
+    NOT restart-recoverable (debug/inspection surface; production
+    windowed aggs should go to a file sink in append mode past the
+    watermark)."""
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     agg = windowed_event_counts(stream)

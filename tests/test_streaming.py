@@ -184,3 +184,67 @@ def test_dedup_stream_first_arrival_across_triggers(spark, tmp_path):
     assert rows["fpC"] == 5
     assert rows["fpB"] == 2  # the first-trigger row, not the later duplicate
     assert second.count() == 3
+
+
+def test_migrate_epoch_layout_enables_idempotence(spark, tmp_path):
+    """One-shot migration: flat pre-epoch files move into an
+    epoch_id=-1 partition, the legacy guard stops firing, and a
+    retried epoch written afterwards replaces itself instead of
+    appending — the flat layout's at-least-once caveat is retired."""
+    from kgpipe.streaming import (
+        _has_flat_parquet,
+        migrate_epoch_layout,
+        write_epoch_idempotent,
+    )
+
+    out_dir = str(tmp_path / "legacy_out")
+    legacy = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2")], "s string, p string, o string"
+    )
+    legacy.write.mode("append").parquet(out_dir)      # pre-epoch flat layout
+    legacy.write.mode("append").parquet(out_dir)      # at-least-once era: 4 rows
+    assert _has_flat_parquet(spark, out_dir)
+
+    moved = migrate_epoch_layout(spark, out_dir)
+    assert moved >= 1
+    assert not _has_flat_parquet(spark, out_dir)
+    after = spark.read.parquet(out_dir)
+    assert after.count() == 4, "migration must move rows, not rewrite them"
+    assert {r.epoch_id for r in after.select("epoch_id").distinct().collect()} == {-1}
+    # idempotent: nothing left to move
+    assert migrate_epoch_layout(spark, out_dir) == 0
+
+    # a retried epoch in the migrated dir replaces its own partition
+    rows = spark.createDataFrame([("s3", "p", "o3")], "s string, p string, o string")
+    write_epoch_idempotent(rows, out_dir, epoch_id=7)
+    write_epoch_idempotent(rows, out_dir, epoch_id=7)  # re-delivery
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 5
+    assert got.where(F.col("epoch_id") == 7).count() == 1
+
+
+def test_dedup_stream_epoch_layout_retry_safe(spark, tmp_path):
+    """run_dedup_stream's sink contract: output lands in epoch_id=N
+    partitions, so a foreachBatch re-delivery of an epoch (simulated
+    by re-writing its rows under the same id) leaves the table
+    unchanged instead of duplicating."""
+    from kgpipe.streaming import run_dedup_stream, write_epoch_idempotent
+
+    docs_dir = str(tmp_path / "rdocs")
+    out_dir = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rck")
+    spark.createDataFrame(
+        [(1, "fpA", "a"), (2, "fpB", "b")],
+        "doc_id long, fingerprint string, text string",
+    ).write.mode("append").parquet(docs_dir)
+    first = run_dedup_stream(spark, docs_dir, out_dir, ckpt)
+    assert first.count() == 2
+    assert "epoch_id" not in first.columns
+
+    full = spark.read.parquet(out_dir)
+    epochs = [r.epoch_id for r in full.select("epoch_id").distinct().collect()]
+    assert epochs, "dedup stream must write the epoch-partitioned layout"
+    eid = epochs[0]
+    replay = full.where(F.col("epoch_id") == eid).drop("epoch_id")
+    write_epoch_idempotent(replay, out_dir, eid)       # simulated re-delivery
+    assert spark.read.parquet(out_dir).count() == 2, "retry must not duplicate"
