@@ -214,6 +214,46 @@ def _pairs_from_sorted_array(arr: Column) -> Column:
     )
 
 
+def _uri_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+) -> DataFrame:
+    """The banded minhash rows behind lsh_candidate_pairs — shared
+    with neardup_bucket_stats so the observability pass sees the
+    exact banding the linker used."""
+    r = num_hashes // bands
+    sig = minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes, seed)
+    return banded_rows(df, id_col, sig, bands, r)
+
+
+def neardup_bucket_stats(
+    df: DataFrame,
+    id_col: str = "uri",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 4,
+    max_bucket: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """bucket_stats over EXACTLY the banding verified_neardup_edges
+    uses (same normalization, shingling, hash family, band count) —
+    one row quantifying the LSH skew guard's recall budget for a
+    corpus: ids_in_dropped is the upper bound on URIs whose pairs the
+    bucket cap may have cost. One extra pass over the (cheap,
+    short-string) URI fold — run when the LSH linker runs, as the
+    pipeline does."""
+    base = df.select(
+        F.col(id_col).alias("uri"), normalize_uri(F.col(id_col)).alias("norm")
+    ).distinct()
+    banded = _uri_banded(base, "uri", "norm", num_hashes, bands, shingle_k, seed)
+    return bucket_stats(banded, max_bucket)
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "uri",
@@ -231,9 +271,7 @@ def lsh_candidate_pairs(
     the recall cost with `bucket_stats` over the same banded rows).
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes, seed)
-    banded = banded_rows(df, id_col, sig, bands, r)
+    banded = _uri_banded(df, id_col, text_col, num_hashes, bands, shingle_k, seed)
     buckets = capped_buckets(banded, max_bucket, F.collect_list(id_col).alias("ids"))
     ids = F.array_sort(F.array_distinct(F.col("ids")))
     pairs = buckets.select(F.explode(_pairs_from_sorted_array(ids)).alias("pr")).select(

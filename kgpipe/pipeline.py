@@ -33,6 +33,7 @@ from kgpipe.operators.extract import with_extracted_text
 from kgpipe.operators.fused import fused_extract_parse_abbrev
 from kgpipe.operators.link import (
     exact_normalized_edges,
+    neardup_bucket_stats,
     sameas_edges_from_triples,
     verified_neardup_edges,
 )
@@ -41,6 +42,10 @@ from kgpipe.operators.parse import parse_pages_to_triples
 
 
 RAW_DDL = "s string, p string, o string, url string, error string, part_id int"
+LSH_STATS_DDL = (
+    "n_buckets long, n_singleton long, n_dropped long, "
+    "ids_in_dropped long, max_bucket_size long"
+)
 TRIPLES_DDL = RAW_DDL  # clean rows = error IS NULL
 CMAP_DDL = "uri string, canon_id string"
 EDGES_DDL = "canon_s string, p string, canon_o string, part_id int"
@@ -104,6 +109,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
         )
         .collect()
     }
+    # the LSH recall budget (SURVEY.md §6 P/R ≥ 0.95): how many
+    # buckets the skew guard dropped and how many URIs sat inside
+    # them — persisted by the link stage, so it survives resume
+    if io.exists("link_bucket_stats"):
+        row = io.read("link_bucket_stats", LSH_STATS_DDL).collect()
+        if row:
+            counters["lsh_bucket_stats"] = row[0].asDict()
     return PipelineResult(triples=triples, canonical_map=cmap, edges=edges, counters=counters)
 
 
@@ -222,11 +234,21 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
         )
         if cfg.jaccard_threshold >= 1.0:
             near = exact_normalized_edges(uris, "uri")
+            stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
         else:
             near = verified_neardup_edges(uris, "uri", cfg.jaccard_threshold)
+            # observability: same banding the linker used → the LSH
+            # drop budget (ids_in_dropped bounds the pairs the bucket
+            # cap can cost). One extra pass over the cheap URI fold.
+            stats = neardup_bucket_stats(uris, "uri")
+        io.write(stats, "link_bucket_stats", mode="overwrite")
         edges = explicit.union(near)
     else:
         edges = explicit
+        io.write(
+            spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
+            "link_bucket_stats", mode="overwrite",
+        )
 
     # materialize the linked edge set once: it is consumed three ways
     # (node universe, CC symmetrization, star-forest extraction), and

@@ -211,3 +211,47 @@ def test_edges_read_falls_back_without_catalog_metadata(spark, warehouse, result
         (r.canon_s, r.p, r.canon_o) for r in _read_edges(io).collect()
     )
     assert after == before and before
+
+
+def test_lsh_bucket_stats_in_counters(spark, tmp_path):
+    """The LSH recall budget is surfaced per run: with the near-dup
+    linker active, PipelineResult.counters carries the bucket-stats
+    row from the exact banding the linker used, and it must equal an
+    independent neardup_bucket_stats computation over the same URI
+    universe. On this fixture the cap DOES fire (the synthetic URIs
+    are structurally near-identical, so their minhash bands collide
+    into oversized buckets) — which is precisely why the budget has
+    to be visible: entity identity still holds at P/R=1.0 because
+    exact-normalized linking never rides on bucket luck
+    (test_triples_match_reference_exactly / test_link golden
+    clusters), and the counter makes the LSH tax auditable instead
+    of silent."""
+    from kgpipe.operators.link import neardup_bucket_stats
+
+    pages = spark.createDataFrame(gen_pages(60)).repartition(4)
+    cfg = PipelineConfig(
+        warehouse=str(tmp_path / "wh_lsh"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4, jaccard_threshold=0.85,
+    )
+    res = run_pipeline(spark, pages, cfg)
+    stats = res.counters["lsh_bucket_stats"]
+    assert stats["n_buckets"] > 0  # the LSH path really ran
+
+    uris = (
+        res.triples.select(F.col("s").alias("uri"))
+        .union(res.triples.select(F.col("o").alias("uri")))
+        .distinct()
+    )
+    expected = neardup_bucket_stats(uris, "uri").collect()[0].asDict()
+    assert stats == expected
+    assert stats["ids_in_dropped"] == expected["ids_in_dropped"]
+
+
+def test_exact_link_mode_reports_zero_lsh_budget(spark, result):
+    """Default (exact-normalized) linking reports an explicit zero
+    LSH budget rather than omitting the key."""
+    stats = result.counters["lsh_bucket_stats"]
+    assert stats == {
+        "n_buckets": 0, "n_singleton": 0, "n_dropped": 0,
+        "ids_in_dropped": 0, "max_bucket_size": 0,
+    }
