@@ -112,6 +112,27 @@ def q_nt_parse_abbrev(spark, sf_dir):
     return abbr.select("doc_id", "s", "p", "o")
 
 
+def q_nt_framed_roundtrip(spark, sf_dir):
+    """Framed parse → byte reconstruction, driver-gated: parse each
+    document's text as an NT line CAPTURING the framing the parse
+    strips (kgpipe.nt.parser.FRAME_COLS — the columns behind the
+    byte-compat parsed NT sink, operators/sinks.py write_nt), then
+    rebuild the line from parsed terms + frames. The oracle computes
+    the whitespace-normalized input line independently in SQL, so a
+    value-hash match proves the sink's reconstruction invariant
+    (pre+term+suf rejoin + verbatim dropped-tail reappend ≡ the
+    normalized source bytes) on the driver's own data. Ref: ntto -a
+    writes raw substituted lines, cmd/ntto/ntto.go:144-158."""
+    from kgpipe.operators.parse import parse_text_column
+    from kgpipe.operators.sinks import framed_line_expr
+
+    docs = _docs(spark, sf_dir)
+    parsed = parse_text_column(
+        docs.withColumnRenamed("text", "line"), "line", ["doc_id"], with_frames=True
+    ).where(F.col("error").isNull())
+    return parsed.select("doc_id", framed_line_expr().alias("line"))
+
+
 def q_abbrev_compat_lines(spark, sf_dir):
     """The `ntto -a` surface: raw-line compat abbreviation through the
     compiled single-pass trie engine (kgpipe.nt.rules), over the full
@@ -636,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "nt_parse": q_nt_parse,
         "nt_parse_abbrev": q_nt_parse_abbrev,
+        "nt_framed_roundtrip": q_nt_framed_roundtrip,
         "abbrev_compat_lines": q_abbrev_compat_lines,
         "top_predicates": q_top_predicates,
         "triples_distinct": q_triples_distinct,
@@ -707,6 +729,15 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "abbrev_compat_lines": _abbrev_compat_oracle_sql(),
+        "nt_framed_roundtrip": r"""
+            with t as (
+              select doc_id,
+                     regexp_split_to_array(trim(text), '\s+') as w
+              from documents
+            )
+            select doc_id, array_to_string(w, ' ') as line
+            from t where len(w) >= 3
+        """,
         "top_predicates": f"""
             with parsed as ({_PARSE_SQL_CTE})
             select p, count(*) as n from parsed

@@ -52,6 +52,28 @@ def write_nt_compat(
     out.select(F.col(line_col).alias("value")).write.mode(mode).text(path)
 
 
+def framed_line_expr() -> F.Column:
+    """The byte-reconstruction expression behind the framed write_nt
+    path: each term re-wrapped in the bracket/quote runs the parse
+    stripped (FRAME_COLS), the dropped tail token re-appended
+    verbatim. Pure codegen — also used directly as a driver-gated
+    query (identity with the whitespace-normalized input line)."""
+
+    def framed(c: str) -> F.Column:
+        return F.concat(
+            F.coalesce(F.col(f"{c}_pre"), F.lit("")),
+            F.col(c),
+            F.coalesce(F.col(f"{c}_suf"), F.lit("")),
+        )
+
+    return F.concat(
+        F.concat_ws(" ", framed("s"), framed("p"), framed("o")),
+        F.when(
+            F.col("tail").isNotNull(), F.concat(F.lit(" "), F.col("tail"))
+        ).otherwise(F.lit("")),
+    )
+
+
 def write_nt(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     """triples(s, p, o, ...) → N-Triples-shaped text lines.
 
@@ -76,20 +98,7 @@ def write_nt(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     if {"s_pre", "s_suf", "p_pre", "p_suf", "o_pre", "o_suf", "tail"} <= set(
         triples.columns
     ):
-        def framed(c: str) -> F.Column:
-            return F.concat(
-                F.coalesce(F.col(f"{c}_pre"), F.lit("")),
-                F.col(c),
-                F.coalesce(F.col(f"{c}_suf"), F.lit("")),
-            )
-
-        line = F.concat(
-            F.concat_ws(" ", framed("s"), framed("p"), framed("o")),
-            F.when(
-                F.col("tail").isNotNull(), F.concat(F.lit(" "), F.col("tail"))
-            ).otherwise(F.lit("")),
-        )
-        triples.select(line.alias("value")).write.mode(mode).text(path)
+        triples.select(framed_line_expr().alias("value")).write.mode(mode).text(path)
         return
 
     def term(c: str) -> F.Column:
