@@ -730,9 +730,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "abbrev_compat_lines": _abbrev_compat_oracle_sql(),
         "nt_framed_roundtrip": r"""
+            -- trim over the full whitespace alphabet: DuckDB's
+            -- 1-arg trim strips spaces only, while the parser's
+            -- Python .strip() takes tabs/newlines too
             with t as (
               select doc_id,
-                     regexp_split_to_array(trim(text), '\s+') as w
+                     regexp_split_to_array(
+                       trim(text, ' ' || chr(9) || chr(10) || chr(13) ||
+                                  chr(11) || chr(12)),
+                       '\s+') as w
               from documents
             )
             select doc_id, array_to_string(w, ' ') as line

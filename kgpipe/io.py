@@ -126,6 +126,12 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
+        # a plain write to a name that previously held a bucketed
+        # table leaves the durable bucket-spec marker stale (dynamic
+        # partition overwrite replaces partition dirs, not root
+        # files) — clear it, or compact() would refuse the
+        # no-longer-bucketed table forever
+        self._clear_bucket_spec(name)
 
     def read(self, name: str, schema: str | None = None) -> DataFrame:
         """schema: optional DDL string. Required to round-trip tables
@@ -208,6 +214,16 @@ class TableIO:
         # bytearray call to the write(int) overload and drops the data
         out.writeBytes(json.dumps(spec, ensure_ascii=True))
         out.close()
+
+    def _clear_bucket_spec(self, name: str) -> None:
+        """Remove the durable bucket marker and the session-catalog
+        bucket entry after a non-bucketed rewrite of `name`. Both
+        unconditionally: a full overwrite may have already wiped the
+        marker file while the catalog entry lives on."""
+        fs, p = self._fs(f"{self.path(name)}/{self._BUCKET_MARKER}")
+        if fs.exists(p):
+            fs.delete(p, False)
+        self.spark.sql(f"drop table if exists {self._bucket_ident(name)}")
 
     def bucket_spec(self, name: str) -> dict | None:
         """The durable bucket spec written by write_bucketed, or None

@@ -30,6 +30,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 LONG_MAX = (1 << 63) - 1
 
+# ONE source of truth for the URI-linker banding: lsh_candidate_pairs
+# (via verified_neardup_edges) and neardup_bucket_stats both default
+# to these, so the persisted recall budget always quantifies the
+# banding the linker actually ran — a drift between two functions'
+# literal defaults could otherwise silently decouple them.
+LSH_NUM_HASHES = 32
+LSH_BANDS = 8
+LSH_SHINGLE_K = 4
+LSH_MAX_BUCKET = 64
+LSH_SEED = 42
+
 
 def normalize_uri(col: Column) -> Column:
     """Canonical URI form for duplicate detection (FIXTURES.md F5
@@ -153,6 +164,13 @@ def capped_buckets(
     buckets are dropped by a having-filter on the final aggregation;
     the surviving collect_list state is bounded by max_bucket.
 
+    SNAPSHOT semantics: because phase 1 runs at CALL time, the
+    oversize key set reflects the input as of plan construction —
+    matching the family callers, whose (id, sig) bases are
+    localCheckpoint-ed at the same moment. Build the plan and run it
+    against the same input snapshot; do not hold a built plan across
+    source appends (true of every eager-materializing operator here).
+
     The two phases traverse `banded` twice, so the cost of the
     signature derivation behind it is a per-family decision made by
     the CALLER: heavy folds (document minhash, simhash's 64-masks-
@@ -234,11 +252,11 @@ def _uri_banded(
 def neardup_bucket_stats(
     df: DataFrame,
     id_col: str = "uri",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 4,
-    max_bucket: int = 64,
-    seed: int = 42,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+    shingle_k: int = LSH_SHINGLE_K,
+    max_bucket: int = LSH_MAX_BUCKET,
+    seed: int = LSH_SEED,
 ) -> DataFrame:
     """bucket_stats over EXACTLY the banding verified_neardup_edges
     uses (same normalization, shingling, hash family, band count) —
@@ -258,11 +276,11 @@ def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "uri",
     text_col: str = "norm",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 4,
-    max_bucket: int = 64,
-    seed: int = 42,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+    shingle_k: int = LSH_SHINGLE_K,
+    max_bucket: int = LSH_MAX_BUCKET,
+    seed: int = LSH_SEED,
 ) -> DataFrame:
     """→ (a, b) candidate pairs with a < b, from banded minhash.
 
@@ -284,10 +302,10 @@ def verified_neardup_edges(
     df: DataFrame,
     id_col: str = "uri",
     jaccard_threshold: float = 0.85,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 4,
-    max_bucket: int = 64,
+    num_hashes: int = LSH_NUM_HASHES,
+    bands: int = LSH_BANDS,
+    shingle_k: int = LSH_SHINGLE_K,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Full near-dup linker: normalize → (a) exact-normalized star
     edges ∪ (b) LSH candidates verified by exact shingle-Jaccard ≥

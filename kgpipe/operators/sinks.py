@@ -94,11 +94,21 @@ def write_nt(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
     WITHOUT frame columns the sink falls back to a heuristic:
     still-full IRIs are re-bracketed, everything else is emitted
     bare, with a ` .` terminator — the engine-native shape, NOT
-    byte-identical to the reference."""
+    byte-identical to the reference.
+
+    Rows whose parse FAILED (null terms — quarantined rows carried
+    through unfiltered) are excluded in the framed path: their
+    original bytes no longer exist in the parsed form, so emitting
+    anything (the naive concat yields a blank line) would corrupt
+    the byte contract; `ntto -a` echoes broken lines verbatim, which
+    only write_nt_compat (raw-line substitution) can reproduce."""
     if {"s_pre", "s_suf", "p_pre", "p_suf", "o_pre", "o_suf", "tail"} <= set(
         triples.columns
     ):
-        triples.select(framed_line_expr().alias("value")).write.mode(mode).text(path)
+        ok = triples.where(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        )
+        ok.select(framed_line_expr().alias("value")).write.mode(mode).text(path)
         return
 
     def term(c: str) -> F.Column:

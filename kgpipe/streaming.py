@@ -38,6 +38,19 @@ def _has_flat_parquet(spark: SparkSession, out_dir: str) -> bool:
     return False
 
 
+def _has_file_sink_log(spark: SparkSession, out_dir: str) -> bool:
+    """True iff out_dir carries a Spark FILE-SINK transaction log
+    (_spark_metadata). Such a directory is read THROUGH the log
+    (FileStreamSink.hasMetadata → MetadataLogFileIndex): files the
+    log doesn't list — including epoch_id=N/ partitions a foreachBatch
+    sink would add — are invisible to every reader, so epoch-layout
+    writes must never be mixed into it."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(out_dir, "_spark_metadata")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def write_epoch_idempotent(rows: DataFrame, out_dir: str, epoch_id: int) -> None:
     """Sink-side idempotence for foreachBatch (which is AT-LEAST-once:
     a batch that fails after a partial — or complete — write is
@@ -67,6 +80,15 @@ def migrate_epoch_layout(spark: SparkSession, out_dir: str) -> int:
     caveat the flat layout carried is retired. -1 can never collide
     with a real foreachBatch epoch id.
 
+    Directories written by a Spark FILE SINK (a _spark_metadata
+    transaction log at the root — e.g. pre-round-4 run_dedup_stream
+    outputs) are handled log-aware: only files the log COMMITTED are
+    moved, files the log does not list are uncommitted leftovers of
+    crashed batches and are deleted (moving them would resurrect
+    exactly the duplicates the log existed to hide), and the log
+    itself is removed afterwards so readers fall back to normal
+    partition discovery over the epoch layout.
+
     Idempotent and crash-resumable: a migration that dies mid-way
     leaves some files moved and some flat; re-running moves the rest.
     Run it OFFLINE (between jobs): while files are mid-move the
@@ -75,21 +97,36 @@ def migrate_epoch_layout(spark: SparkSession, out_dir: str) -> int:
     has not committed to the streaming checkpoint yet would replay
     after migration and duplicate its flat-era rows — migrate only
     when the last run completed. Returns the number of files moved."""
+    import os as _os
+
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(out_dir)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(root):
         return 0
+    meta = jvm.org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    committed: set[str] | None = None
+    if fs.exists(meta):
+        # the log is the source of truth while it exists — resolve the
+        # committed file set THROUGH it before touching anything
+        committed = {
+            _os.path.basename(f) for f in spark.read.parquet(out_dir).inputFiles()
+        }
     dest = jvm.org.apache.hadoop.fs.Path(root, "epoch_id=-1")
     moved = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isFile() and name.endswith(".parquet"):
+            if committed is not None and name not in committed:
+                fs.delete(st.getPath(), False)  # uncommitted garbage
+                continue
             if moved == 0:
                 fs.mkdirs(dest)
             if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dest, name)):
                 raise IOError(f"migrate_epoch_layout: rename of {name} failed")
             moved += 1
+    if committed is not None:
+        fs.delete(meta, True)
     return moved
 
 
@@ -266,15 +303,29 @@ def run_dedup_stream(
     stream = spark.readStream.schema(schema).parquet(docs_dir)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
     out = dedup_stream(stream, key_col, ddl)
+    # legacy guard (mirror of incremental_triples' flat-layout guard):
+    # an out_dir written by the old FILE-SINK path carries a
+    # _spark_metadata log, and readers resolve THROUGH that log —
+    # epoch_id=N/ directories written next to it would be invisible
+    # (and new rows silently lost, with their keys already consumed by
+    # the state store). Keep such outputs on the file sink; retire the
+    # log with migrate_epoch_layout when the stream is idle.
+    legacy_sink = _has_file_sink_log(spark, out_dir)
+    w = out.writeStream.outputMode("append")
+    if legacy_sink:
+        w = w.format("parquet").option("path", out_dir)
+    else:
+        w = w.foreachBatch(
+            lambda rows, epoch_id: write_epoch_idempotent(rows, out_dir, epoch_id)
+        )
     q = (
-        out.writeStream.outputMode("append")
-        .foreachBatch(lambda rows, epoch_id: write_epoch_idempotent(rows, out_dir, epoch_id))
-        .option("checkpointLocation", checkpoint_dir)
+        w.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).drop("epoch_id")
+    result = spark.read.parquet(out_dir)
+    return result.drop("epoch_id") if "epoch_id" in result.columns else result
 
 
 SESSION_OUT_DDL = "user_id long, event_id long, session_seq long"

@@ -213,3 +213,17 @@ def test_compact_refuses_bucketed_fresh_session(spark, tmp_path):
             io.compact("bt")
     finally:
         spark.sql(f"drop table if exists {io._bucket_ident('bt')}")
+
+
+def test_plain_overwrite_clears_stale_bucket_marker(spark, tmp_path):
+    """A non-bucketed rewrite of a formerly bucketed table must clear
+    the durable bucket marker — otherwise compact() refuses the table
+    forever even though the layout is plain parquet."""
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    io.write_bucketed(df, "rw", ["k"], 4)
+    assert io.bucket_spec("rw") is not None
+    io.write(df, "rw", mode="overwrite")  # plain rewrite
+    assert io.bucket_spec("rw") is None
+    assert io.compact("rw", target_file_bytes=1 << 30) == 1
+    assert io.read("rw").count() == 100

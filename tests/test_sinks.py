@@ -126,3 +126,20 @@ def test_write_nt_framed_byte_identical_to_perl_rules16(spark, tmp_path):
     write_nt(abbr, out)
     got = collections.Counter(_read_lines(out))
     assert got == perl_lines(lines, rules16)
+
+
+def test_write_nt_framed_excludes_broken_rows(spark, tmp_path):
+    """Quarantined rows (null terms) must not leak blank lines into
+    the framed byte stream when the caller forgets the error filter."""
+    from kgpipe.operators.parse import parse_lines_to_triples
+
+    lines = ["<a> <b> <c> .", "broken", ""]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    parsed = parse_lines_to_triples(df, with_frames=True)  # NO error filter
+    out = str(tmp_path / "noblank_nt")
+    write_nt(parsed, out)
+    got = []
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f) as fh:
+            got.extend(fh.read().splitlines())
+    assert got == ["<a> <b> <c> ."]

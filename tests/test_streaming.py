@@ -248,3 +248,84 @@ def test_dedup_stream_epoch_layout_retry_safe(spark, tmp_path):
     replay = full.where(F.col("epoch_id") == eid).drop("epoch_id")
     write_epoch_idempotent(replay, out_dir, eid)       # simulated re-delivery
     assert spark.read.parquet(out_dir).count() == 2, "retry must not duplicate"
+
+
+def test_dedup_stream_continues_legacy_file_sink_output(spark, tmp_path):
+    """An out_dir written by the old FILE-SINK path carries a
+    _spark_metadata log; readers resolve through it, so epoch_id=N/
+    dirs written next to it would be invisible. run_dedup_stream must
+    detect the log and keep appending through the file sink — new
+    rows stay visible in the cumulative output."""
+    from kgpipe.streaming import _has_file_sink_log, run_dedup_stream
+
+    docs_dir = str(tmp_path / "ldocs")
+    out_dir = str(tmp_path / "lout")
+    ckpt = str(tmp_path / "lck")
+    spark.createDataFrame(
+        [(1, "fpA", "a")], "doc_id long, fingerprint string, text string"
+    ).write.mode("append").parquet(docs_dir)
+
+    # fabricate the legacy era: first run through the FILE sink
+    schema = spark.read.parquet(docs_dir).schema
+    from kgpipe.streaming import dedup_stream
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    q = (
+        dedup_stream(spark.readStream.schema(schema).parquet(docs_dir), "fingerprint", ddl)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _has_file_sink_log(spark, out_dir)
+    assert spark.read.parquet(out_dir).count() == 1
+
+    # new files + the NEW runner: rows must not vanish behind the log
+    spark.createDataFrame(
+        [(2, "fpB", "b")], "doc_id long, fingerprint string, text string"
+    ).write.mode("append").parquet(docs_dir)
+    out = run_dedup_stream(spark, docs_dir, out_dir, ckpt)
+    assert {r.fingerprint for r in out.collect()} == {"fpA", "fpB"}
+    assert out.count() == 2
+
+
+def test_migrate_epoch_layout_file_sink_dir(spark, tmp_path):
+    """Migrating a FILE-SINK output: committed files move into
+    epoch_id=-1, files the log never committed (crashed-batch
+    leftovers) are deleted rather than resurrected, and the log is
+    removed so plain partition discovery takes over."""
+    import glob
+    import shutil
+
+    from kgpipe.streaming import _has_file_sink_log, migrate_epoch_layout
+
+    src_dir = str(tmp_path / "msrc")
+    out_dir = str(tmp_path / "mout")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id long, v string"
+    ).write.parquet(src_dir)
+    q = (
+        spark.readStream.schema("id long, v string").parquet(src_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "mck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _has_file_sink_log(spark, out_dir)
+    n_committed = spark.read.parquet(out_dir).count()
+
+    # plant an uncommitted leftover: a parquet file the log never saw
+    committed_file = glob.glob(f"{out_dir}/part-*.parquet")[0]
+    shutil.copy(committed_file, f"{out_dir}/part-99999-uncommitted.parquet")
+
+    moved = migrate_epoch_layout(spark, out_dir)
+    assert moved >= 1
+    assert not _has_file_sink_log(spark, out_dir)
+    after = spark.read.parquet(out_dir)
+    assert after.count() == n_committed, "uncommitted leftovers must not resurrect"
+    assert {r.epoch_id for r in after.select("epoch_id").distinct().collect()} == {-1}
