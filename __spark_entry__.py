@@ -133,6 +133,65 @@ def q_nt_framed_roundtrip(spark, sf_dir):
     return parsed.select("doc_id", framed_line_expr().alias("line"))
 
 
+def q_curie_roundtrip(spark, sf_dir):
+    """Abbreviate → EXPAND roundtrip, oracle-gated: LPM-abbreviate
+    parsed IRIs to CURIEs, expand them back through the inverse map
+    (operators/abbrev.expand_curie_expr — the reference only shrinks,
+    README.md:6-9; consumers need resolvable IRIs back), and return
+    the result. The oracle constructs the ORIGINAL full IRIs
+    directly, so a hash match proves expand(abbrev_lpm(x)) == x on
+    the fixture rule table (unique shortcuts ⇒ lossless)."""
+    from kgpipe.fixtures import RULES_16_TEXT
+    from kgpipe.nt.rules import parse_rules
+    from kgpipe.operators.abbrev import abbreviate_columns, expand_columns
+    from kgpipe.operators.parse import parse_text_column
+
+    rules = parse_rules(RULES_16_TEXT)
+    lines = _nt_uri_lines(_docs(spark, sf_dir))
+    parsed = parse_text_column(lines, "line", ["doc_id"]).where(F.col("error").isNull())
+    abbr = abbreviate_columns(parsed, ["s", "p", "o"], rules, mode="lpm")
+    full = expand_columns(abbr, ["s", "p", "o"], rules)
+    return full.select("doc_id", "s", "p", "o")
+
+
+def q_khop_2(spark, sf_dir):
+    """Graph traversal (operators/graph.khop_frontier): 2-hop BFS
+    frontier with minimum hop distances over a deterministic edge
+    set derived from doc ids (i→i+7 and i→3i), seeds = every 100th
+    doc. Iterative join + visited anti-join per hop, frontier
+    checkpointed — the shape that runs exchange-free per hop over
+    the pipeline's canon_s-bucketed edges table."""
+    from kgpipe.operators.graph import khop_frontier
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 7).alias("dst")
+    ).union(
+        d.select(F.col("doc_id").alias("src"), (F.col("doc_id") * 3).alias("dst"))
+    )
+    seeds = d.where(F.col("doc_id") % 100 == 0).select(F.col("doc_id").alias("node"))
+    return khop_frontier(edges, seeds, k=2)
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf (operators/textops) —
+    ranked on the ROUNDED score (6dp) with term-asc tie-break, so
+    ranking can never flip on a last-ulp ln() difference between
+    engines."""
+    from kgpipe.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", top_k=3)
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-hygiene boilerplate detector (operators/textops): word
+    2-grams present in ≥5% of documents — what a training-data
+    cleaning pass filters against."""
+    from kgpipe.operators.textops import boilerplate_ngrams
+
+    return boilerplate_ngrams(_docs(spark, sf_dir), "doc_id", "text", k=2, min_doc_frac=0.05)
+
+
 def q_abbrev_compat_lines(spark, sf_dir):
     """The `ntto -a` surface: raw-line compat abbreviation through the
     compiled single-pass trie engine (kgpipe.nt.rules), over the full
@@ -658,6 +717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nt_parse": q_nt_parse,
         "nt_parse_abbrev": q_nt_parse_abbrev,
         "nt_framed_roundtrip": q_nt_framed_roundtrip,
+        "curie_roundtrip": q_curie_roundtrip,
+        "khop_2": q_khop_2,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "abbrev_compat_lines": q_abbrev_compat_lines,
         "top_predicates": q_top_predicates,
         "triples_distinct": q_triples_distinct,
@@ -729,6 +792,73 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "abbrev_compat_lines": _abbrev_compat_oracle_sql(),
+        "curie_roundtrip": """
+            select doc_id,
+                   'http://d-nb.info/gnd/' || cast(doc_id % 50 as varchar) as s,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' as p,
+                   'http://dbpedia.org/resource/Entity' || cast(doc_id as varchar) as o
+            from documents
+        """,
+        "khop_2": """
+            with d as (select doc_id from documents),
+            e as (
+              select doc_id as s, doc_id + 7 as t from d
+              union all
+              select doc_id as s, doc_id * 3 as t from d
+            ),
+            h0 as (select distinct doc_id as node from d where doc_id % 100 = 0),
+            h1 as (
+              select distinct e.t as node from e join h0 on e.s = h0.node
+              where e.t not in (select node from h0)
+            ),
+            h2 as (
+              select distinct e.t as node from e join h1 on e.s = h1.node
+              where e.t not in (select node from h0)
+                and e.t not in (select node from h1)
+            )
+            select node, 0 as hops from h0
+            union all select node, 1 as hops from h1
+            union all select node, 2 as hops from h2
+        """,
+        "tfidf_top_terms": r"""
+            with words as (
+              select doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) as term
+              from documents
+            ), tf as (
+              select doc_id, term, count(*) as tf
+              from words where term <> '' group by doc_id, term
+            ), dfreq as (
+              select term, count(*) as df from tf group by term
+            ), n as (select count(distinct doc_id) as n_docs from documents),
+            scored as (
+              select tf.doc_id, tf.term,
+                     round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) as tfidf
+              from tf join dfreq using (term) cross join n
+            ), ranked as (
+              select doc_id, term, tfidf,
+                     row_number() over (partition by doc_id
+                                        order by tfidf desc, term asc) as rank
+              from scored
+            )
+            select doc_id, term, tfidf, cast(rank as integer) as rank
+            from ranked where rank <= 3
+        """,
+        "boilerplate_ngrams": r"""
+            with g as (
+              select distinct doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                               i -> array_to_string(w[i:i+1], ' ')))) as gram
+              from (select doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') as w
+                    from documents)
+            ), n as (select count(distinct doc_id) as n_docs from documents)
+            select gram,
+                   count(*) as n_docs,
+                   round(count(*)::DOUBLE / max(n.n_docs), 6) as doc_frac
+            from g cross join n
+            group by gram
+            having count(*) >= 0.05 * max(n.n_docs)
+        """,
         "nt_framed_roundtrip": r"""
             -- trim over the full whitespace alphabet: DuckDB's
             -- 1-arg trim strips spaces only, while the parser's

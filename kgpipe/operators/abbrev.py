@@ -132,3 +132,48 @@ def abbreviate_lines(
         return bc.value.rewrite_series(col)
 
     return df.withColumn(line_col, _rewrite(F.col(line_col)))
+
+
+def expand_curie_expr(col, rules, null: str | None = None):
+    """INVERSE of LPM abbreviation, as a pure-JVM expression: a CURIE
+    `shortcut:rest` whose shortcut is in the rule table expands to
+    `prefix || rest`; anything else (full IRIs, literals, bare
+    suffixes from <NULL> strips — irrecoverable by construction)
+    passes through unchanged. The reference has no expand direction
+    (ntto only shrinks, README.md:6-9); any consumer of abbreviated
+    NT needs this to get resolvable IRIs back.
+
+    Duplicate shortcuts in the table (`atom`, `virtrdf` —
+    /root/reference/rules.go:31,133-134,222; SURVEY.md §2c-Q13) make
+    abbreviation lossy: expansion takes the FIRST rule, mirroring the
+    first-wins order the sequential rewriter applies. Lookup is one
+    map literal probe per value — no join, no shuffle, no UDF."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.nt.rules import NULL_SENTINEL
+
+    sentinel = null if null is not None else NULL_SENTINEL
+    first: dict[str, str] = {}
+    for r in rules:
+        if r.shortcut != sentinel and r.shortcut not in first:
+            first[r.shortcut] = r.prefix
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(first.items()) for x in kv]
+    )
+    sc = F.split_part(col, F.lit(":"), F.lit(1))
+    prefix = F.element_at(mapping, sc)
+    rest = col.substr(F.length(sc) + 2, F.length(col))
+    return F.when(
+        col.contains(":") & prefix.isNotNull(), F.concat(prefix, rest)
+    ).otherwise(col)
+
+
+def expand_columns(df, columns: list[str], rules, null: str | None = None):
+    """Expand CURIEs in the named columns back to full IRIs (see
+    expand_curie_expr). Roundtrip law: expand(abbreviate_lpm(x)) == x
+    for rule sets with unique shortcuts (pytest-pinned; property-
+    tested for the 16-rule fixture table)."""
+    out = df
+    for c in columns:
+        out = out.withColumn(c, expand_curie_expr(out[c], rules, null=null))
+    return out

@@ -119,3 +119,64 @@ def winnowing_fingerprint_rows(df, id_col: str, text_col: str, k: int = 8, w: in
         )
     )
     return hashed.select(id_col, F.explode(mins).alias("fp"))
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3):
+    """Per-document top-k terms by tf-idf → (doc_id, term, tfidf,
+    rank). Plain whitespace tokens of lower(text); idf = ln(N/df)
+    with df = documents containing the term. Two shuffles total:
+    the (doc, term) count and the per-term document frequency — the
+    df table joins back by term (broadcast when small, AQE decides).
+    Deterministic: tfidf rounded to 6dp, ties broken by term asc.
+    The standard relevance/keyword primitive for corpus triage."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def boilerplate_ngrams(
+    df, id_col: str, text_col: str, k: int = 2, min_doc_frac: float = 0.05
+):
+    """Word k-grams present in ≥ min_doc_frac of documents → (gram,
+    n_docs, doc_frac). The corpus-hygiene primitive for training
+    data: navigation chrome, license footers and template headers
+    show up as n-grams with anomalously high document frequency, and
+    this table is what a cleaning pass filters against. One shuffle
+    (groupBy gram over per-doc DISTINCT grams — map-side combine);
+    the distinct-per-doc step reuses the dedup family's shingle
+    machinery."""
+    from kgpipe.operators.dedup import word_shingles
+
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    ).distinct()
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= float(min_doc_frac) * n_docs)
+        .select(
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(n_docs)), 6).alias("doc_frac"),
+        )
+    )

@@ -278,3 +278,38 @@ def test_singlepass_fuzz_equals_sequential(data):
         rw = PrefixRewriter(rules, mode=mode)
         got = rw.rewrite_series(pd.Series([s], dtype="object")).tolist()[0]
         assert got == rw.rewrite_term(s), (mode, s)
+
+
+# --- CURIE expansion (inverse rewrite) ------------------------------
+def test_expand_curie_roundtrip_and_passthrough(spark):
+    """expand(abbrev_lpm(x)) == x on the unique-shortcut fixture
+    table; non-CURIE values (full IRIs, literals, colon-free terms)
+    pass through untouched; duplicate shortcuts expand first-wins
+    (the order the sequential rewriter applies — Q13)."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.fixtures import RULES_16_TEXT
+    from kgpipe.nt.rules import parse_rules
+    from kgpipe.operators.abbrev import expand_curie_expr
+
+    rules = parse_rules(RULES_16_TEXT)
+    cases = [
+        ("gnd:118540238", "http://d-nb.info/gnd/118540238"),
+        ("rdf:type", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+        ("plain literal", "plain literal"),
+        ("http://unmapped.org/x", "http://unmapped.org/x"),
+        ("noprefix", "noprefix"),
+        ("unknown:rest", "unknown:rest"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "v string")
+    got = [r.out for r in df.select(expand_curie_expr(F.col("v"), rules).alias("out")).collect()]
+    assert got == [e for _, e in cases]
+
+    # duplicate shortcuts: first rule wins (atom appears twice in
+    # DefaultRules — rules.go:133-134)
+    from kgpipe.nt.rules import Rule
+
+    dup = [Rule("a", "http://first.example/"), Rule("a", "http://second.example/")]
+    df2 = spark.createDataFrame([("a:x",)], "v string")
+    out = df2.select(expand_curie_expr(F.col("v"), dup).alias("out")).collect()[0].out
+    assert out == "http://first.example/x"

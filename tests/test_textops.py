@@ -109,3 +109,37 @@ def test_winnowing_position_count_bound(spark):
     n = len(text) - 7
     got = winnowing_fingerprint_rows(df, "doc_id", "text", k=8, w=4).count()
     assert 1 <= got <= n
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from kgpipe.operators.textops import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, "doc_id", "text", top_k=2).collect()
+    top1 = {r.doc_id: r.term for r in rows if r.rank == 1}
+    # 'common' is in every doc → idf 0 → never the top term
+    assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+    assert all(r.tfidf == 0 for r in rows if r.term == "common")
+
+
+def test_boilerplate_ngrams_threshold(spark):
+    from kgpipe.operators.textops import boilerplate_ngrams
+
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words here {footer}") for i in range(20)]
+        + [(100, "totally different text")],
+        "doc_id long, text string",
+    )
+    got = {r.gram: r.n_docs for r in boilerplate_ngrams(
+        docs, "doc_id", "text", k=3, min_doc_frac=0.5
+    ).collect()}
+    assert got.get("all rights reserved") == 20
+    assert not any(g.startswith("unique") for g in got)
