@@ -173,6 +173,43 @@ def q_khop_2(spark, sf_dir):
     return khop_frontier(edges, seeds, k=2)
 
 
+def q_pagerank_3(spark, sf_dir):
+    """Iterative-algorithm category beyond connected components:
+    3-iteration PageRank (operators/graph.pagerank) over the same
+    deterministic doc-id edge set as khop_2. Per-iteration rounding
+    (12dp) makes ranks engine-exact, so the unrolled 3-CTE DuckDB
+    oracle hash-matches; final ranks rounded to 6dp."""
+    from kgpipe.operators.graph import pagerank
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id"))
+    edges = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 7).alias("dst")
+    ).union(
+        d.select(F.col("doc_id").alias("src"), (F.col("doc_id") * 3).alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=3)
+    return pr.select("node", F.round(F.col("pr"), 6).alias("pr"))
+
+
+def q_hash_sample(spark, sf_dir):
+    """Reproducible corpus sampling (operators/sample): membership is
+    a pure function of the key — the engine-portable Knuth bucket
+    here, so DuckDB computes the IDENTICAL sample — with nested
+    fractions (10% ⊆ 30%) surfaced as a split label per kept row."""
+    from kgpipe.operators.sample import hash_sample, knuth_bucket
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    b = knuth_bucket(F.col("doc_id"))
+    kept = hash_sample(docs.withColumn("bucket", b), F.col("bucket"), 0.3)
+    return kept.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 100_000, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 terms by tf-idf (operators/textops) —
     ranked on the ROUNDED score (6dp) with term-asc tie-break, so
@@ -719,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nt_framed_roundtrip": q_nt_framed_roundtrip,
         "curie_roundtrip": q_curie_roundtrip,
         "khop_2": q_khop_2,
+        "pagerank_3": q_pagerank_3,
+        "hash_sample": q_hash_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "abbrev_compat_lines": q_abbrev_compat_lines,
@@ -819,6 +858,65 @@ def oracle_sql() -> dict[str, str]:
             select node, 0 as hops from h0
             union all select node, 1 as hops from h1
             union all select node, 2 as hops from h2
+        """,
+        "pagerank_3": """
+            with d as (select doc_id from documents),
+            e as (
+              select doc_id as s, doc_id + 7 as t from d
+              union all
+              select doc_id as s, doc_id * 3 as t from d
+            ),
+            nodes as (
+              select distinct node from (
+                select s as node from e union all select t as node from e
+              )
+            ),
+            nn as (select count(*)::DOUBLE as n from nodes),
+            od as (select s, count(*) as od from e group by s),
+            r0 as (
+              select node, round(1.0 / nn.n, 12) as pr
+              from nodes cross join nn
+            ),
+            c1 as (
+              select e.t as node, sum(r0.pr / od.od) as cs
+              from e join r0 on e.s = r0.node join od on e.s = od.s
+              group by e.t
+            ),
+            r1 as (
+              select nodes.node,
+                     round(0.15 / nn.n + 0.85 * coalesce(c1.cs, 0), 12) as pr
+              from nodes left join c1 on nodes.node = c1.node cross join nn
+            ),
+            c2 as (
+              select e.t as node, sum(r1.pr / od.od) as cs
+              from e join r1 on e.s = r1.node join od on e.s = od.s
+              group by e.t
+            ),
+            r2 as (
+              select nodes.node,
+                     round(0.15 / nn.n + 0.85 * coalesce(c2.cs, 0), 12) as pr
+              from nodes left join c2 on nodes.node = c2.node cross join nn
+            ),
+            c3 as (
+              select e.t as node, sum(r2.pr / od.od) as cs
+              from e join r2 on e.s = r2.node join od on e.s = od.s
+              group by e.t
+            ),
+            r3 as (
+              select nodes.node,
+                     round(0.15 / nn.n + 0.85 * coalesce(c3.cs, 0), 12) as pr
+              from nodes left join c3 on nodes.node = c3.node cross join nn
+            )
+            select node, round(pr, 6) as pr from r3
+        """,
+        "hash_sample": """
+            with b as (
+              select doc_id, (doc_id * 2654435761) % 1000000 as bucket
+              from documents
+            )
+            select doc_id, bucket,
+                   case when bucket < 100000 then 'holdout' else 'train' end as split
+            from b where bucket < 300000
         """,
         "tfidf_top_terms": r"""
             with words as (

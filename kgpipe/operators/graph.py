@@ -67,6 +67,66 @@ def khop_frontier(
     return visited
 
 
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    round_dp: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge table as pure DataFrame
+    jobs → (node, pr). Per iteration: push rank/out_degree along
+    edges (join), sum per target (ONE groupBy, map-side partial),
+    blend with the teleport term; nodes with no inbound edges keep
+    the teleport mass. Dangling nodes (no out-edges) leak their mass
+    — the standard simplification, and exactly what the SQL oracle
+    computes. A fixed n_iter (not convergence detection) keeps the
+    job graph static; ranks are checkpointed per iteration (the CC
+    lineage lesson).
+
+    Cross-engine/partitioning determinism: ranks are ROUNDED to
+    round_dp every iteration, so float-sum associativity drift
+    (~1e-16 per aggregation) can never compound into a visible
+    difference between runs or between Spark and an SQL oracle.
+
+    Scale: each iteration is one join on src (exchange-free over a
+    src-bucketed edge table) + one aggregation of E rows; rank state
+    is one double per node."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(float(n)), round_dp).alias("pr")
+    )
+    teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["__s"] == ranks["node"])
+            .join(outdeg, "__s")
+            .select(F.col("__d").alias("node"), (F.col("pr") / F.col("__od")).alias("__c"))
+        )
+        sums = contribs.groupBy("node").agg(F.sum("__c").alias("__cs"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    teleport + F.lit(damping) * F.coalesce(F.col("__cs"), F.lit(0.0)),
+                    round_dp,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def degree_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -75,3 +75,47 @@ def test_degree_stats(spark, toy):
     assert got[0] == (2, 0)
     assert got[3] == (1, 2)
     assert got[10] == (0, 1)
+
+
+def _pagerank_oracle(edges, n_iter=3, damping=0.85, dp=12):
+    nodes = sorted({x for e in edges for x in e})
+    n = float(len(nodes))
+    outdeg = collections.Counter(s for s, _ in edges)
+    pr = {u: round(1.0 / n, dp) for u in nodes}
+    for _ in range(n_iter):
+        cs = collections.defaultdict(float)
+        for s, d in edges:
+            cs[d] += pr[s] / outdeg[s]
+        pr = {
+            u: round((1.0 - damping) / n + damping * cs.get(u, 0.0), dp)
+            for u in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_python_oracle(spark, toy):
+    from kgpipe.operators.graph import pagerank
+
+    edges = [(r.src, r.dst) for r in toy.collect()]
+    got = {r.node: r.pr for r in pagerank(toy, n_iter=3).collect()}
+    exp = _pagerank_oracle(edges, n_iter=3)
+    assert set(got) == set(exp)
+    for u in exp:
+        assert abs(got[u] - exp[u]) < 1e-11, (u, got[u], exp[u])
+    # hub 3 (two inbound paths) outranks chain node 2
+    assert got[3] > got[2]
+
+
+def test_pagerank_random_graph(spark):
+    import random
+
+    from kgpipe.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(90)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(df, n_iter=4).collect()}
+    exp = _pagerank_oracle(edges, n_iter=4)
+    assert set(got) == set(exp)
+    for u in exp:
+        assert abs(got[u] - exp[u]) < 1e-11
