@@ -237,3 +237,56 @@ def canonical_map_for_nodes(nodes: DataFrame, edges: DataFrame, **kw) -> DataFra
         "uri", F.col("uri").alias("canon_id")
     )
     return cmap.union(singles)
+
+
+def incremental_canonical_map(
+    prev_cmap: DataFrame, new_edges: DataFrame, **kw
+) -> DataFrame:
+    """Merge a NEW batch of sameAs edges into an existing canonical
+    map WITHOUT re-running CC over the whole graph — the daily-delta
+    operation at 10^12 nodes, where a delta touches a vanishing
+    fraction of components and a full recompute would re-shuffle
+    everything for nothing.
+
+    Only components the delta touches are recomputed:
+      1. touched  = endpoints of new_edges
+      2. affected = canon_ids of touched nodes present in prev
+         (delta-sized → AQE broadcasts these joins at runtime)
+      3. the affected components re-enter as their STAR edges
+         (uri → canon_id), which are connectivity-equivalent to the
+         original component membership
+      4. connected_components runs over (affected stars ∪ new_edges)
+         — a graph the size of the delta's neighborhood, not the world
+      5. result = untouched prev rows ∪ the recomputed sub-map
+
+    canon_id remains the component's lexicographic-min uri: the star
+    edges carry EVERY member of each affected old component into the
+    recompute, so the merged component's min is the true min over old
+    and new members — pinned equal to a full recompute in test_cc.
+
+    prev_cmap may be empty (first run degenerates to a plain CC over
+    new_edges). Nodes supported: any uri appearing in either input.
+    """
+    prev = prev_cmap.select("uri", "canon_id")
+    ne = new_edges.select("src", "dst")
+    touched = (
+        ne.select(F.col("src").alias("uri"))
+        .union(ne.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    affected = prev.join(touched, "uri", "left_semi").select("canon_id").distinct()
+    aff_rows = prev.join(affected, "canon_id", "left_semi")
+    star_edges = aff_rows.where(F.col("uri") != F.col("canon_id")).select(
+        F.col("uri").alias("src"), F.col("canon_id").alias("dst")
+    )
+    sub_edges = star_edges.union(ne)
+    sub_nodes = (
+        sub_edges.select(F.col("src").alias("uri"))
+        .union(sub_edges.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    sub_map = canonical_map_for_nodes(sub_nodes, sub_edges, **kw)
+    # join-on-canon_id reorders columns (key first) — reselect before
+    # the positional union or untouched rows come out (canon_id, uri)
+    untouched = prev.join(affected, "canon_id", "left_anti").select("uri", "canon_id")
+    return untouched.union(sub_map.select("uri", "canon_id"))

@@ -218,10 +218,15 @@ def windowed_event_counts(
     )
 
 
-DEDUP_STATE_DDL = "n_seen long"
+DEDUP_STATE_DDL = "n_seen long, first_seen_ms long"
 
 
-def dedup_stream(df: DataFrame, key_col: str, output_ddl: str) -> DataFrame:
+def dedup_stream(
+    df: DataFrame,
+    key_col: str,
+    output_ddl: str,
+    state_ttl_minutes: float | None = None,
+) -> DataFrame:
     """Custom STATEFUL streaming operator: exact first-arrival
     deduplication across micro-batches via applyInPandasWithState,
     keyed by a fingerprint column. The FIRST row of each key ever
@@ -240,11 +245,28 @@ def dedup_stream(df: DataFrame, key_col: str, output_ddl: str) -> DataFrame:
     and no watermark requirement.
 
     output_ddl must name the input columns (the emitted row is the
-    first-arriving input row, unchanged)."""
+    first-arriving input row, unchanged).
+
+    state_ttl_minutes bounds the DEDUP HORIZON for unbounded key
+    spaces: an arrival more than the TTL after its key's first-seen
+    time is re-admitted as a fresh first arrival (emitted again, the
+    horizon restarts). Expiry is evaluated LAZILY on arrival —
+    processing-time TIMERS would be the eviction mechanism, but
+    ProcessingTimeTimeout cannot terminate under the AvailableNow
+    trigger this driver uses (the query busy-loops empty
+    timeout-sweep batches — measured 66 state versions in seconds),
+    so state rows for never-returning keys persist until a
+    continuous-trigger deployment adds timer eviction; the
+    SEMANTICS (first-arrival-wins within a TTL horizon) are
+    identical either way. None (default) = exact forever-dedup,
+    whose state is one row per distinct key by definition."""
+    import time as _time
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     cols = df.columns
+    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
 
     def fn(key, pdfs, state: GroupState):
         # stream the chunks: a degenerate hot key (boilerplate
@@ -267,11 +289,17 @@ def dedup_stream(df: DataFrame, key_col: str, output_ddl: str) -> DataFrame:
             )
         if n_new == 0:
             return
+        now_ms = int(_time.time() * 1000)
         if state.exists:
-            (n_seen,) = state.get
-            state.update((n_seen + n_new,))
-            return  # key already emitted in an earlier trigger
-        state.update((n_new,))
+            n_seen, first_seen_ms = state.get
+            if ttl_ms is not None and (now_ms - first_seen_ms) > ttl_ms:
+                # horizon passed: re-admit as a fresh first arrival
+                state.update((n_new, now_ms))
+                yield best[cols]
+                return
+            state.update((n_seen + n_new, first_seen_ms))
+            return  # key already emitted within the horizon
+        state.update((n_new, now_ms))
         yield best[cols]
 
     return df.groupBy(key_col).applyInPandasWithState(
@@ -285,6 +313,7 @@ def run_dedup_stream(
     out_dir: str,
     checkpoint_dir: str,
     key_col: str = "fingerprint",
+    state_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Drive first-arrival dedup over parquet document files
     (AvailableNow). Re-invoking after new files land processes only
@@ -302,7 +331,7 @@ def run_dedup_stream(
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-    out = dedup_stream(stream, key_col, ddl)
+    out = dedup_stream(stream, key_col, ddl, state_ttl_minutes=state_ttl_minutes)
     # legacy guard (mirror of incremental_triples' flat-layout guard):
     # an out_dir written by the old FILE-SINK path carries a
     # _spark_metadata log, and readers resolve THROUGH that log —

@@ -93,3 +93,67 @@ def test_cc_small_graph_shortcut_equals_distributed(spark):
         for r in connected_components(edf, small_graph_max_edges=0).collect()
     }
     assert fast == dist and fast
+
+
+def test_incremental_matches_full_recompute(spark):
+    """incremental_canonical_map(cc(batch1), batch2) must equal a full
+    CC over batch1 ∪ batch2 — including components merged ACROSS
+    batches, brand-new nodes, and untouched old components."""
+    import random
+
+    from kgpipe.operators.cc import (
+        canonical_map_for_nodes,
+        connected_components,
+        incremental_canonical_map,
+    )
+
+    rng = random.Random(23)
+    n1 = [f"http://ex.org/n{i}" for i in range(60)]
+    batch1 = [(n1[rng.randrange(60)], n1[rng.randrange(60)]) for _ in range(50)]
+    # batch2: some edges among old nodes (merging old components),
+    # some to brand-new nodes
+    n2 = n1 + [f"http://ex.org/m{i}" for i in range(20)]
+    batch2 = [(n2[rng.randrange(80)], n2[rng.randrange(80)]) for _ in range(30)]
+
+    e1 = spark.createDataFrame(batch1, "src string, dst string")
+    e2 = spark.createDataFrame(batch2, "src string, dst string")
+    prev = connected_components(e1)
+
+    inc = {
+        (r.uri, r.canon_id)
+        for r in incremental_canonical_map(prev, e2).collect()
+    }
+    all_nodes = spark.createDataFrame(
+        [(u,) for u in sorted({x for e in batch1 + batch2 for x in e})], "uri string"
+    )
+    # full recompute over the union, restricted to the same node
+    # universe the two-step path covers (nodes seen in any edge)
+    full = {
+        (r.uri, r.canon_id)
+        for r in canonical_map_for_nodes(all_nodes, e1.union(e2)).collect()
+    }
+    assert inc == full
+
+
+def test_incremental_from_empty_prev(spark):
+    from kgpipe.operators.cc import connected_components, incremental_canonical_map
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    empty = spark.createDataFrame([], "uri string, canon_id string")
+    inc = {(r.uri, r.canon_id) for r in incremental_canonical_map(empty, e).collect()}
+    full = {(r.uri, r.canon_id) for r in connected_components(e).collect()}
+    assert inc == full
+
+
+def test_incremental_untouched_components_unchanged(spark):
+    """A delta that never touches a component must leave its rows
+    byte-identical (no recompute, no relabeling)."""
+    from kgpipe.operators.cc import connected_components, incremental_canonical_map
+
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    prev = connected_components(e1)
+    e2 = spark.createDataFrame([("p", "q")], "src string, dst string")
+    inc = {(r.uri, r.canon_id) for r in incremental_canonical_map(prev, e2).collect()}
+    assert {("a", "a"), ("b", "a"), ("x", "x"), ("y", "x"), ("p", "p"), ("q", "p")} == inc

@@ -329,3 +329,51 @@ def test_migrate_epoch_layout_file_sink_dir(spark, tmp_path):
     after = spark.read.parquet(out_dir)
     assert after.count() == n_committed, "uncommitted leftovers must not resurrect"
     assert {r.epoch_id for r in after.select("epoch_id").distinct().collect()} == {-1}
+
+
+def test_dedup_stream_state_ttl_readmits(spark, tmp_path):
+    """TTL-horizon dedup: an arrival more than the TTL after its
+    key's first-seen time is re-admitted as a fresh first arrival
+    (lazy expiry on arrival — processing-time timer eviction cannot
+    terminate under AvailableNow; see the dedup_stream docstring),
+    while duplicates WITHIN the horizon stay suppressed."""
+    import time
+
+    from kgpipe.streaming import run_dedup_stream
+
+    docs_dir = str(tmp_path / "tdocs")
+    out_dir = str(tmp_path / "tout")
+    ckpt = str(tmp_path / "tck")
+    ttl = 2.0 / 60.0  # 2 seconds
+
+    # stream X — tiny horizon: a post-horizon arrival re-admits
+    spark.createDataFrame(
+        [(1, "fpA", "first A")], "doc_id long, fingerprint string, text string"
+    ).write.mode("append").parquet(docs_dir)
+    first = run_dedup_stream(spark, docs_dir, out_dir, ckpt, state_ttl_minutes=ttl)
+    assert first.count() == 1
+
+    time.sleep(3.0)  # let fpA's horizon pass
+    spark.createDataFrame(
+        [(2, "fpA", "A again")], "doc_id long, fingerprint string, text string"
+    ).write.mode("append").parquet(docs_dir)
+    second = run_dedup_stream(spark, docs_dir, out_dir, ckpt, state_ttl_minutes=ttl)
+    rows = sorted((r.doc_id, r.fingerprint) for r in second.collect())
+    assert rows == [(1, "fpA"), (2, "fpA")], (
+        "post-horizon arrival must re-emit as a fresh first arrival"
+    )
+
+    # stream Y — long horizon (≫ stream-restart latency): duplicates
+    # across triggers stay suppressed
+    docs2 = str(tmp_path / "tdocs2")
+    out2 = str(tmp_path / "tout2")
+    ckpt2 = str(tmp_path / "tck2")
+    spark.createDataFrame(
+        [(1, "fpB", "first B")], "doc_id long, fingerprint string, text string"
+    ).write.mode("append").parquet(docs2)
+    run_dedup_stream(spark, docs2, out2, ckpt2, state_ttl_minutes=10.0)
+    spark.createDataFrame(
+        [(2, "fpB", "dup B")], "doc_id long, fingerprint string, text string"
+    ).write.mode("append").parquet(docs2)
+    y = run_dedup_stream(spark, docs2, out2, ckpt2, state_ttl_minutes=10.0)
+    assert [(r.doc_id, r.fingerprint) for r in y.collect()] == [(1, "fpB")]
