@@ -54,18 +54,26 @@ def _sf_of(sf_dir: str) -> float:
 PAGES_PER_SF = 400_000
 
 
-def bench_pipeline(spark, sf_dir: str, n_pages: int) -> dict:
+def stage_pages_corpus(spark, n_pages: int) -> str:
+    """Setup (untimed, ONCE per bench process): synthesize + persist
+    the pages corpus, generated ON the cluster (pure function of row
+    index). Returns the staged directory."""
+    from kgpipe.fixtures import gen_pages_spark
+
+    gen_dir = tempfile.mkdtemp(prefix="kgbench_pages_")
+    gen_pages_spark(spark, n_pages).write.mode("overwrite").parquet(gen_dir)
+    return gen_dir
+
+
+def bench_pipeline(spark, gen_dir: str) -> dict:
+    """One timed end-to-end pipeline run over the pre-staged corpus;
+    each call gets a FRESH warehouse (no cross-rep checkpoint reuse —
+    every rep does the full extract→link→CC→materialize work)."""
     from kgpipe.fixtures import RULES_16_TEXT
     from kgpipe.pipeline import PipelineConfig, run_pipeline
 
-    gen_dir = tempfile.mkdtemp(prefix="kgbench_pages_")
     wh = tempfile.mkdtemp(prefix="kgbench_wh_")
     try:
-        # setup (untimed): synthesize + persist the pages corpus,
-        # generated ON the cluster (pure function of row index)
-        from kgpipe.fixtures import gen_pages_spark
-
-        gen_pages_spark(spark, n_pages).write.mode("overwrite").parquet(gen_dir)
         pages = spark.read.parquet(gen_dir)
         cfg = PipelineConfig(
             warehouse=wh, rules_text=RULES_16_TEXT, mode="compat",
@@ -79,7 +87,6 @@ def bench_pipeline(spark, sf_dir: str, n_pages: int) -> dict:
         return {"sec": dt, "n_triples": n_triples, "n_edges": n_edges,
                 "triples_per_sec": n_triples / dt}
     finally:
-        shutil.rmtree(gen_dir, ignore_errors=True)
         shutil.rmtree(wh, ignore_errors=True)
 
 
@@ -101,7 +108,38 @@ def _nt_lines_from_lineitem(spark, sf_dir: str):
     return li.select(line.alias("line"))
 
 
-def bench_queries(spark, sf_dir: str) -> dict:
+def prepare_query_inputs(spark, sf_dir: str) -> dict:
+    """Setup (untimed, ONCE per bench process): persist the
+    constructed NT line corpora. The queries under test are the
+    parse/abbrev/convert OPERATORS, not the synthetic source rebuild
+    (scan + concat + repartition shuffle), which would otherwise
+    dominate each timed region at this corpus size — and re-staging
+    per repetition would triple the bench's wall clock for work
+    outside every timed region."""
+    from pyspark.storagelevel import StorageLevel
+
+    lines = _nt_lines_from_lineitem(spark, sf_dir).withColumnRenamed("line", "value")
+    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    n_lines = lines.count()
+    # 4× unioned corpus for abbrev-only so the ~1s fixed job latency
+    # doesn't mask operator throughput (the reference's number comes
+    # from a 114M-line file where startup is noise)
+    big = lines
+    for _ in range(2):
+        big = big.union(big)
+    big = big.repartition(2 * spark.sparkContext.defaultParallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_big = big.count()
+    return {"lines": lines, "n_lines": n_lines, "big": big, "n_big": n_big}
+
+
+def release_query_inputs(prepared: dict) -> None:
+    prepared["big"].unpersist(blocking=False)
+    prepared["lines"].unpersist(blocking=False)
+
+
+def bench_queries(spark, sf_dir: str, prepared: dict) -> dict:
     import __spark_entry__ as em
     from kgpipe.fixtures import RULES_16_TEXT
     from kgpipe.nt.rules import parse_rules
@@ -123,15 +161,7 @@ def bench_queries(spark, sf_dir: str) -> dict:
     # kept for comparison.
     from kgpipe.convert import convert_nt_lines
 
-    # persist the constructed line corpus: the queries under test are
-    # the parse/abbrev/convert OPERATORS, not the synthetic source
-    # rebuild (scan + concat + repartition shuffle), which would
-    # otherwise dominate each timed region at this corpus size
-    from pyspark.storagelevel import StorageLevel
-
-    lines = _nt_lines_from_lineitem(spark, sf_dir).withColumnRenamed("line", "value")
-    lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
-    n_lines = lines.count()
+    lines = prepared["lines"]
     rules = parse_rules(RULES_16_TEXT)
     run("parse_bulk", lambda: parse_lines_to_triples(lines, "value").where(F.col("s").isNotNull()).count())
     run(
@@ -149,30 +179,17 @@ def bench_queries(spark, sf_dir: str) -> dict:
     # abbreviate-only over the full 223-rule DefaultRules — the
     # apples-to-apples comparison with the reference's `ntto -a`
     # (BASELINE.md: 1.03M lines/s). sum(length) forces the rewrite
-    # (a bare count would prune the UDF column). Measured over a 4×
-    # unioned persisted corpus so the ~1s fixed job latency doesn't
-    # mask operator throughput (the reference's number comes from a
-    # 114M-line file where startup is noise).
+    # (a bare count would prune the UDF column).
     from kgpipe.nt.default_rules import DEFAULT_RULES_TEXT
     from kgpipe.operators.abbrev import abbreviate_lines
 
     rules223 = parse_rules(DEFAULT_RULES_TEXT)
-    big = lines
-    for _ in range(2):
-        big = big.union(big)
-    big = big.repartition(2 * spark.sparkContext.defaultParallelism).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_big = big.count()
+    big = prepared["big"]
     run(
         "abbrev_bulk",
         lambda: abbreviate_lines(big, rules223, line_col="value")
         .select(F.sum(F.length("value"))).collect(),
     )
-    big.unpersist(blocking=False)
-    lines.unpersist(blocking=False)
-    timings["__n_bulk_lines"] = n_lines
-    timings["__n_big_lines"] = n_big
 
     q = em.queries()
     for name in [
@@ -217,19 +234,25 @@ def main() -> None:
         n_pages = int(
             os.environ.get("SPARK_GRAFT_BENCH_PAGES", max(int(PAGES_PER_SF * sf), 2000))
         )
+        # stage every input ONCE — repetitions repeat only the timed
+        # regions, not the (untimed but slow) corpus staging
+        prepared = prepare_query_inputs(spark, sf_dir)
+        n_bulk, n_big = prepared["n_lines"], prepared["n_big"]
+        gen_dir = stage_pages_corpus(spark, n_pages)
         reps: list[dict] = []
         loads: list[float] = []
-        n_bulk = n_big = 0
         pipes: list[dict] = []
-        for _ in range(n_reps):
-            loads.append(round(_gate_on_load(load_gate, max_wait), 2))
-            t = bench_queries(spark, sf_dir)
-            n_bulk = int(t.pop("__n_bulk_lines"))
-            n_big = int(t.pop("__n_big_lines"))
-            pipe = bench_pipeline(spark, sf_dir, n_pages=n_pages)
-            t["kg_pipeline"] = round(pipe["sec"], 3)
-            pipes.append(pipe)
-            reps.append(t)
+        try:
+            for _ in range(n_reps):
+                loads.append(round(_gate_on_load(load_gate, max_wait), 2))
+                t = bench_queries(spark, sf_dir, prepared)
+                pipe = bench_pipeline(spark, gen_dir)
+                t["kg_pipeline"] = round(pipe["sec"], 3)
+                pipes.append(pipe)
+                reps.append(t)
+        finally:
+            release_query_inputs(prepared)
+            shutil.rmtree(gen_dir, ignore_errors=True)
         # per-query best across load-gated repetitions — the committed
         # snapshot IS the best-of-N evidence
         timings = {k: min(r[k] for r in reps) for k in reps[0]}

@@ -89,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--parts", type=int, default=256)
     run.add_argument("--buckets", type=int, default=64)
     run.add_argument("--no-neardup", action="store_true")
+    run.add_argument("--incremental-link", action="store_true",
+                     help="daily-delta mode: link only unseen triple partitions "
+                          "and merge components incrementally (exact-normalized "
+                          "linking only)")
     run.add_argument("--explain", action="store_true", help="print plans, do not execute")
 
     dr = sub.add_parser("dump-rules", help="print active rules, sorted")
@@ -239,6 +243,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_parts=args.parts,
                 n_buckets=args.buckets,
                 neardup_link=not args.no_neardup,
+                incremental_link=args.incremental_link,
             )
             if args.explain:
                 from kgpipe.nt.rules import parse_rules

@@ -401,6 +401,65 @@ class TableIO:
         fs.delete(aside_p, True)
         return n
 
+    def recover_replace(self, name: str) -> None:
+        """Heal a table mid-`replace`: a crash between the two swap
+        renames leaves the live path missing with the aside holding
+        the only complete copy — restore it. A stale aside next to a
+        healthy live table is deleted. MUST be called before reading
+        a table that is maintained via replace() (a schema'd read of
+        the missing live path would silently return empty)."""
+        if self.catalog is not None:
+            return
+        fs, live = self._fs(self.path(name))
+        _, aside = self._fs(self.path(f"{name}__replaced"))
+        if not fs.exists(aside):
+            return
+        if self.exists(name):
+            fs.delete(aside, True)
+        else:
+            fs.delete(live, True)
+            if not fs.rename(aside, live):
+                raise IOError(f"replace: recovery rename {aside} -> {live} failed")
+
+    def replace(self, df: DataFrame, name: str) -> None:
+        """Crash-safe FULL replace for tables whose next version is
+        DERIVED FROM the current one (e.g. the incrementally merged
+        canonical_map): a plain overwrite deletes the live data
+        before writing, so a crash mid-write destroys the very input
+        its retry needs. Here the new version lands in <name>__next
+        while the live table stays intact, then swaps in via renames
+        (live→aside, next→live, delete aside) — at no instant is the
+        only copy deleted, and recover_replace() heals the one
+        crash window between the renames. Refused on object stores
+        (rename is copy+delete there — use an Iceberg catalog, whose
+        createOrReplace is snapshot-safe and taken automatically in
+        catalog mode)."""
+        if self.catalog is not None:
+            self.write(df, name, mode="overwrite")
+            return
+        scheme = self._scheme()
+        if scheme in self._NON_ATOMIC_RENAME_SCHEMES:
+            raise ValueError(
+                f"replace: rename-swap is unsafe on {scheme}:// — configure an "
+                "Iceberg catalog (TableIO(catalog=...)) for snapshot-safe "
+                "replacement"
+            )
+        self.recover_replace(name)
+        nxt = f"{name}__next"
+        self.write(df, nxt, mode="overwrite")
+        fs, live = self._fs(self.path(name))
+        _, nxt_p = self._fs(self.path(nxt))
+        _, aside = self._fs(self.path(f"{name}__replaced"))
+        had_live = self.exists(name)
+        if had_live and not fs.rename(live, aside):
+            raise IOError(f"replace: rename {live} -> {aside} failed")
+        if not fs.rename(nxt_p, live):
+            if had_live:
+                fs.rename(aside, live)
+            raise IOError(f"replace: rename {nxt_p} -> {live} failed")
+        if had_live:
+            fs.delete(aside, True)
+
     def drop(self, name: str) -> None:
         if self.catalog is not None:
             self.spark.sql(f"drop table if exists {self._ident(name)}")

@@ -68,6 +68,14 @@ class PipelineConfig:
     # < 1.0 → minhash-LSH + Jaccard near-dup linking
     jaccard_threshold: float = 1.0
     cc_max_iter: int = 25
+    # True → the link stage processes only triple partitions it has
+    # not seen (per-part ledger), linking new URIs against a
+    # persisted norm→hub index and merging components with
+    # incremental_canonical_map — the daily-delta mode. Requires the
+    # exact-normalized linker (jaccard_threshold == 1.0): LSH banding
+    # needs the full corpus per run. Result pinned equal to a full
+    # recompute (test_pipeline).
+    incremental_link: bool = False
 
 
 @dataclass
@@ -92,7 +100,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
     # full extra pass over the table)
     fp = _triples_fingerprint(triples)
 
-    _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
+    if cfg.incremental_link:
+        _stage_link_incremental(spark, triples, cfg, io, log)
+    else:
+        _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
     cmap = io.read("canonical_map", CMAP_DDL)
 
     _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
@@ -273,6 +284,135 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     edges.unpersist(blocking=False)
     stats = spark.createDataFrame(
         [(0, fp[0], fp[1], n_out, 0)],
+        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
+    )
+    log.mark_done(stage, stats)
+
+
+NORM_HUBS_DDL = "norm string, hub string, batch_fp string"
+
+
+def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog):
+    """Delta-only link + canonicalize: process ONLY triple partitions
+    absent from the per-part ledger. New URIs link against the
+    persisted norm→hub index (a URI whose normal form was seen in any
+    earlier batch gets one edge to that form's existing hub — edge
+    choice only affects connectivity, and canon labels come from CC's
+    component-min, so hub staleness is label-irrelevant); normal
+    forms never seen before elect a hub among the delta and enter the
+    index. Components are merged with incremental_canonical_map, so
+    CC work scales with the delta's neighborhood, not the corpus —
+    the property that makes daily ingestion at 10^12 nodes feasible.
+    The result is pinned EQUAL to a from-scratch recompute
+    (test_pipeline.test_incremental_link_matches_full).
+
+    The norm-hub delta lands in a `batch_fp=<fp>` partition under
+    dynamic overwrite, so a crash-and-retry of the same delta
+    replaces its own rows instead of duplicating the index; the
+    ledger is marked only after both writes.
+
+    Requires exact-normalized linking (cfg.jaccard_threshold == 1.0):
+    LSH banding compares against the whole corpus by construction, so
+    an LSH delta link would need persisted bucket tables — refused
+    rather than silently under-linked. Materialize still rewrites
+    fully: merged components relabel OLD edges' canon ids, so the
+    edge table cannot be patched per-part without a canon-diff pass.
+    """
+    if cfg.jaccard_threshold < 1.0:
+        raise ValueError(
+            "incremental_link requires exact-normalized linking "
+            "(jaccard_threshold == 1.0); LSH near-dup linking needs the "
+            "full corpus per run"
+        )
+    from kgpipe.operators.cc import incremental_canonical_map
+    from kgpipe.operators.link import normalize_uri
+
+    stage = "link_parts"
+    fps_rows = (
+        triples.groupBy("part_id")
+        .agg(
+            F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    done = {
+        (r["part_id"], r["fingerprint"], r["n_in"])
+        for r in log.completed(stage).collect()
+    }
+    pending = sorted(
+        r["part_id"] for r in fps_rows if (r["part_id"], r["fp"], r["n"]) not in done
+    )
+    if not pending and io.exists("canonical_map"):
+        return
+    delta = triples.where(F.col("part_id").isin(pending))
+
+    explicit = sameas_edges_from_triples(delta, cfg.sameas_pred)
+    base = (
+        delta.select(F.col("s").alias("uri"))
+        .union(delta.select(F.col("o").alias("uri")))
+        .distinct()
+        .select("uri", normalize_uri(F.col("uri")).alias("norm"))
+    )
+    if io.exists("norm_hubs"):
+        hubs = io.read("norm_hubs", NORM_HUBS_DDL).select("norm", "hub")
+    else:
+        hubs = spark.createDataFrame([], "norm string, hub string")
+    # seen normal forms: one edge to the existing hub suffices for
+    # connectivity (all earlier members already reach that hub)
+    matched = (
+        base.join(hubs, "norm")
+        .where(F.col("uri") != F.col("hub"))
+        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+    )
+    # unseen normal forms: elect the min URI as hub, star the rest
+    unmatched = base.join(hubs, "norm", "left_anti")
+    new_hubs = unmatched.groupBy("norm").agg(F.min("uri").alias("hub"))
+    star_new = (
+        unmatched.join(new_hubs, "norm")
+        .where(F.col("uri") != F.col("hub"))
+        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+    )
+    delta_edges = explicit.union(matched).union(star_new).distinct().localCheckpoint(
+        eager=True
+    )
+    n_edges = delta_edges.count()
+
+    # heal any half-finished swap from a crashed prior attempt BEFORE
+    # reading prev (a schema'd read of a missing live path returns
+    # empty — which would silently discard every earlier component)
+    io.recover_replace("canonical_map")
+    if io.exists("canonical_map"):
+        prev = io.read("canonical_map", CMAP_DDL)
+    else:
+        prev = spark.createDataFrame([], CMAP_DDL)
+    cmap = incremental_canonical_map(prev, delta_edges, max_iter=cfg.cc_max_iter)
+    # crash-safe: the merged map derives from the live table, so it
+    # must never be overwritten in place (delete-then-write would
+    # destroy the retry's input) — replace() swaps via renames
+    io.replace(cmap, "canonical_map")
+    io.write(
+        spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
+        "link_bucket_stats", mode="overwrite",
+    )
+
+    pend = set(pending)
+    batch_fp = "%016x" % (
+        sum((r["fp"] & ((1 << 64) - 1)) for r in fps_rows if r["part_id"] in pend)
+        & ((1 << 64) - 1)
+    )
+    io.write(
+        new_hubs.withColumn("batch_fp", F.lit(batch_fp)),
+        "norm_hubs",
+        mode="overwrite",
+        partition_by=["batch_fp"],
+    )
+    stats = spark.createDataFrame(
+        [
+            (r["part_id"], r["fp"], r["n"], n_edges, 0)
+            for r in fps_rows
+            if r["part_id"] in pend
+        ],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)

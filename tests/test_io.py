@@ -227,3 +227,32 @@ def test_plain_overwrite_clears_stale_bucket_marker(spark, tmp_path):
     assert io.bucket_spec("rw") is None
     assert io.compact("rw", target_file_bytes=1 << 30) == 1
     assert io.read("rw").count() == 100
+
+
+def test_replace_swap_and_crash_recovery(spark, tmp_path):
+    """replace(): the new version is written NEXT TO the live table
+    and swapped in by rename — and the crash window between the two
+    renames (live moved aside, next not yet in) heals on
+    recover_replace, keeping derived-from-self tables (incremental
+    canonical_map) safe under crash+retry."""
+    io = TableIO(spark, str(tmp_path))
+    io.replace(spark.range(10).toDF("id"), "rt")       # create (no live yet)
+    assert io.read("rt").count() == 10
+    io.replace(spark.range(25).toDF("id"), "rt")       # swap over live
+    assert io.read("rt").count() == 25
+    assert not os.path.exists(io.path("rt__replaced"))
+    assert not os.path.exists(io.path("rt__next"))
+
+    # simulate the crash window: live moved aside, nothing else
+    os.rename(io.path("rt"), io.path("rt__replaced"))
+    io.recover_replace("rt")
+    assert io.read("rt").count() == 25
+    assert not os.path.exists(io.path("rt__replaced"))
+
+    # stale aside next to a healthy live table: cleaned, live wins
+    spark.range(5).toDF("id").write.parquet(io.path("rt__replaced"))
+    io.recover_replace("rt")
+    assert io.read("rt").count() == 25
+
+    with pytest.raises(ValueError, match="Iceberg"):
+        TableIO(spark, "s3a://bucket/wh").replace(None, "x")

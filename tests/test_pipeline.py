@@ -255,3 +255,62 @@ def test_exact_link_mode_reports_zero_lsh_budget(spark, result):
         "n_buckets": 0, "n_singleton": 0, "n_dropped": 0,
         "ids_in_dropped": 0, "max_bucket_size": 0,
     }
+
+
+def test_incremental_link_matches_full(spark, tmp_path):
+    """Daily-delta mode: run the pipeline incrementally (batch 1,
+    then batches 1+2 — the link stage only processes changed
+    partitions, merging via incremental_canonical_map and the
+    persisted norm-hub index) and compare against a from-scratch run
+    over everything. canonical_map and edges must be IDENTICAL."""
+    all_pages = gen_pages(120)
+    batch1 = all_pages.iloc[:80]
+
+    cfg_inc = PipelineConfig(
+        warehouse=str(tmp_path / "wh_inc"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=8, incremental_link=True,
+    )
+    run_pipeline(spark, spark.createDataFrame(batch1).repartition(5), cfg_inc)
+    res_inc = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg_inc)
+
+    cfg_full = PipelineConfig(
+        warehouse=str(tmp_path / "wh_full"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=8,
+    )
+    res_full = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg_full)
+
+    cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
+    cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
+    assert cmap_inc == cmap_full
+
+    e_inc = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res_inc.edges.collect()
+    )
+    e_full = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res_full.edges.collect()
+    )
+    assert e_inc == e_full
+
+
+def test_incremental_link_rerun_is_noop(spark, tmp_path):
+    """Re-running the incremental pipeline with no new pages leaves
+    the canonical map unchanged (per-part ledger short-circuits)."""
+    pages = spark.createDataFrame(gen_pages(40)).repartition(3)
+    cfg = PipelineConfig(
+        warehouse=str(tmp_path / "wh_noop"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4, incremental_link=True,
+    )
+    first = run_pipeline(spark, pages, cfg)
+    before = {(r.uri, r.canon_id) for r in first.canonical_map.collect()}
+    second = run_pipeline(spark, pages, cfg)
+    after = {(r.uri, r.canon_id) for r in second.canonical_map.collect()}
+    assert before == after
+
+
+def test_incremental_link_refuses_lsh(spark, tmp_path):
+    cfg = PipelineConfig(
+        warehouse=str(tmp_path / "wh_bad"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4, incremental_link=True, jaccard_threshold=0.8,
+    )
+    with pytest.raises(ValueError, match="incremental_link"):
+        run_pipeline(spark, spark.createDataFrame(gen_pages(10)), cfg)
