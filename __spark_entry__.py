@@ -911,7 +911,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_sample": """
             with b as (
-              select doc_id, (doc_id * 2654435761) % 1000000 as bucket
+              select doc_id,
+                     ((doc_id & 2147483647) * 2654435761) % 1000000 as bucket
               from documents
             )
             select doc_id, bucket,

@@ -92,7 +92,12 @@ def pagerank(
 
     Scale: each iteration is one join on src (exchange-free over a
     src-bucketed edge table) + one aggregation of E rows; rank state
-    is one double per node."""
+    is one double per node. The node universe AND the out-degree
+    table are checkpointed ONCE (both are n_nodes rows); the edge
+    frame itself is deliberately NOT checkpointed — for table-backed
+    edges a parquet re-scan per iteration is cheaper than copying the
+    whole edge set to local storage, and callers holding an expensive
+    DERIVED edge plan should checkpoint it before calling."""
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     nodes = (
         e.select(F.col("__s").alias("node"))
@@ -101,7 +106,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od")).localCheckpoint(
+        eager=True
+    )
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / F.lit(float(n)), round_dp).alias("pr")
     )

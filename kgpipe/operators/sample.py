@@ -25,12 +25,18 @@ def sample_bucket(key: Column, seed: int = 1) -> Column:
 
 
 def knuth_bucket(key: Column) -> Column:
-    """Engine-portable bucket: Knuth multiplicative mix over an
-    INTEGER key — exact in any engine with 64-bit integers (the
-    DuckDB oracle computes the identical expression), unlike
-    xxhash64 which only Spark has. Weaker mixing than xxhash64; use
-    for cross-engine-reproducible splits over integer keys."""
-    return F.pmod(key * F.lit(2654435761), F.lit(SAMPLE_BUCKETS))
+    """Engine-portable bucket: Knuth multiplicative mix over the LOW
+    31 BITS of an integer key — exact in any engine with 64-bit
+    integers (the DuckDB oracle computes the identical expression),
+    unlike xxhash64 which only Spark has. The 31-bit fold keeps the
+    product ≤ 2^31·2654435761 < 2^63, so it can never overflow a
+    signed long (an unmasked key ≥ ~3.47e9 raises under Spark 4's
+    default ANSI mode and silently wraps — diverging from the
+    oracle — with ANSI off; operators here must be overflow-free
+    under ANY session conf). Weaker mixing than xxhash64; use for
+    cross-engine-reproducible splits over integer keys."""
+    folded = key.cast("long").bitwiseAND(F.lit((1 << 31) - 1).cast("long"))
+    return F.pmod(folded * F.lit(2654435761), F.lit(SAMPLE_BUCKETS))
 
 
 def hash_sample(

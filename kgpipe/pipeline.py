@@ -68,13 +68,15 @@ class PipelineConfig:
     # < 1.0 → minhash-LSH + Jaccard near-dup linking
     jaccard_threshold: float = 1.0
     cc_max_iter: int = 25
-    # True → the link stage processes only triple partitions it has
-    # not seen (per-part ledger), linking new URIs against a
+    # True → the link stage processes only triples of urls it has
+    # never linked (url-level index), linking new URIs against a
     # persisted norm→hub index and merging components with
-    # incremental_canonical_map — the daily-delta mode. Requires the
-    # exact-normalized linker (jaccard_threshold == 1.0): LSH banding
-    # needs the full corpus per run. Result pinned equal to a full
-    # recompute (test_pipeline).
+    # incremental_canonical_map — the daily-delta mode; a re-crawled
+    # url (content changed) triggers a full relink fallback because
+    # merges cannot retract links. Requires the exact-normalized
+    # linker (jaccard_threshold == 1.0): LSH banding needs the full
+    # corpus per run. Result pinned equal to a full recompute
+    # (test_pipeline).
     incremental_link: bool = False
 
 
@@ -290,26 +292,44 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
 
 
 NORM_HUBS_DDL = "norm string, hub string, batch_fp string"
+LINKED_URLS_DDL = "url string, ufp long, batch_fp string"
 
 
 def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog):
-    """Delta-only link + canonicalize: process ONLY triple partitions
-    absent from the per-part ledger. New URIs link against the
-    persisted norm→hub index (a URI whose normal form was seen in any
-    earlier batch gets one edge to that form's existing hub — edge
-    choice only affects connectivity, and canon labels come from CC's
-    component-min, so hub staleness is label-irrelevant); normal
-    forms never seen before elect a hub among the delta and enter the
-    index. Components are merged with incremental_canonical_map, so
-    CC work scales with the delta's neighborhood, not the corpus —
-    the property that makes daily ingestion at 10^12 nodes feasible.
-    The result is pinned EQUAL to a from-scratch recompute
-    (test_pipeline.test_incremental_link_matches_full).
+    """Delta-only link + canonicalize, keyed at the URL level: link
+    ONLY triples whose url has never been linked. Delta detection by
+    url — not by storage partition — because hash partitioning
+    scatters any append across most partitions, while urls are the
+    actual unit of crawl identity: an appended page is a NEW url, a
+    re-crawl is an EXISTING url whose content fingerprint changed.
 
-    The norm-hub delta lands in a `batch_fp=<fp>` partition under
-    dynamic overwrite, so a crash-and-retry of the same delta
-    replaces its own rows instead of duplicating the index; the
-    ledger is marked only after both writes.
+    Append path (the daily-delta case): new URIs link against the
+    persisted norm→hub index (a URI whose normal form was seen in
+    any earlier batch gets one edge to that form's existing hub —
+    edge choice only affects connectivity, and canon labels come
+    from CC's component-min, so hub staleness is label-irrelevant);
+    unseen normal forms elect a hub among the delta and enter the
+    index. Components merge via incremental_canonical_map — CC work
+    scales with the delta's neighborhood, not the corpus.
+
+    Re-crawl path: merge-only incrementality cannot RETRACT a link,
+    so when any already-linked url's content fingerprint changed the
+    stage falls back to a full relink + rebuild of the map, the hub
+    index, and the url index (_incremental_full_rebuild) instead of
+    silently diverging. Either way the result is pinned EQUAL to a
+    from-scratch recompute (test_pipeline).
+
+    Per-run metadata cost: one map-side-combined groupBy(url) over
+    the clean triples plus a join against the url index — linear
+    scans, the same order as the extract stage's own fingerprint
+    pass, and far below re-running link+CC over the corpus.
+
+    Crash safety: canonical_map goes through TableIO.replace (it
+    derives from its own previous version); the hub and url deltas
+    land in per-batch `batch_fp=` partitions under dynamic
+    overwrite, so a retry replaces its own rows; the url index is
+    written LAST, so a crashed attempt re-detects its delta (or its
+    rebuild) and re-runs idempotently.
 
     Requires exact-normalized linking (cfg.jaccard_threshold == 1.0):
     LSH banding compares against the whole corpus by construction, so
@@ -327,25 +347,38 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
     from kgpipe.operators.cc import incremental_canonical_map
     from kgpipe.operators.link import normalize_uri
 
-    stage = "link_parts"
-    fps_rows = (
-        triples.groupBy("part_id")
-        .agg(
-            F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("fp"),
-            F.count(F.lit(1)).alias("n"),
+    stage = "link_urls"
+    # per-url content fingerprints of the CLEAN triples — one pass
+    cur = (
+        triples.groupBy("url")
+        .agg(F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("ufp"))
+        .localCheckpoint(eager=True)
+    )
+    if io.exists("linked_urls"):
+        prev_urls = io.read("linked_urls", LINKED_URLS_DDL).select(
+            "url", F.col("ufp").alias("old_ufp")
         )
-        .collect()
+    else:
+        prev_urls = spark.createDataFrame([], "url string, old_ufp long")
+    joined = cur.join(prev_urls, "url", "left")
+    changed = (
+        joined.where(
+            F.col("old_ufp").isNotNull() & (F.col("ufp") != F.col("old_ufp"))
+        ).limit(1).count()
+        > 0
     )
-    done = {
-        (r["part_id"], r["fingerprint"], r["n_in"])
-        for r in log.completed(stage).collect()
-    }
-    pending = sorted(
-        r["part_id"] for r in fps_rows if (r["part_id"], r["fp"], r["n"]) not in done
-    )
-    if not pending and io.exists("canonical_map"):
+    if changed:
+        _incremental_full_rebuild(spark, triples, cur, cfg, io, log, stage)
         return
-    delta = triples.where(F.col("part_id").isin(pending))
+    new_urls = (
+        joined.where(F.col("old_ufp").isNull())
+        .select("url", "ufp")
+        .localCheckpoint(eager=True)
+    )
+    n_new = new_urls.count()
+    if n_new == 0 and io.exists("canonical_map"):
+        return
+    delta = triples.join(new_urls.select("url"), "url", "left_semi")
 
     explicit = sameas_edges_from_triples(delta, cfg.sameas_pred)
     base = (
@@ -365,9 +398,16 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
         .where(F.col("uri") != F.col("hub"))
         .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
     )
-    # unseen normal forms: elect the min URI as hub, star the rest
+    # unseen normal forms: elect the min URI as hub, star the rest.
+    # Eager: new_hubs feeds BOTH the star edges and the norm_hubs
+    # write — without the pin, the write re-runs the whole delta
+    # derivation (scan, normalize, anti-join, groupBy) a second time.
     unmatched = base.join(hubs, "norm", "left_anti")
-    new_hubs = unmatched.groupBy("norm").agg(F.min("uri").alias("hub"))
+    new_hubs = (
+        unmatched.groupBy("norm")
+        .agg(F.min("uri").alias("hub"))
+        .localCheckpoint(eager=True)
+    )
     star_new = (
         unmatched.join(new_hubs, "norm")
         .where(F.col("uri") != F.col("hub"))
@@ -396,23 +436,86 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
         "link_bucket_stats", mode="overwrite",
     )
 
-    pend = set(pending)
-    batch_fp = "%016x" % (
-        sum((r["fp"] & ((1 << 64) - 1)) for r in fps_rows if r["part_id"] in pend)
-        & ((1 << 64) - 1)
-    )
+    # deterministic batch id from the delta's url fingerprints —
+    # a retried batch overwrites exactly its own index partitions
+    fp_row = new_urls.agg(
+        F.coalesce(F.bit_xor(F.col("ufp")), F.lit(0)).alias("fp")
+    ).collect()[0]
+    batch_fp = "%016x" % (int(fp_row["fp"]) & ((1 << 64) - 1))
     io.write(
         new_hubs.withColumn("batch_fp", F.lit(batch_fp)),
-        "norm_hubs",
-        mode="overwrite",
-        partition_by=["batch_fp"],
+        "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
+    )
+    # url index LAST: a crash anywhere above re-detects this delta
+    io.write(
+        new_urls.withColumn("batch_fp", F.lit(batch_fp)),
+        "linked_urls", mode="overwrite", partition_by=["batch_fp"],
     )
     stats = spark.createDataFrame(
-        [
-            (r["part_id"], r["fp"], r["n"], n_edges, 0)
-            for r in fps_rows
-            if r["part_id"] in pend
-        ],
+        [(0, int(fp_row["fp"]), n_new, n_edges, 0)],
+        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
+    )
+    log.mark_done(stage, stats)
+
+
+def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: CheckpointLog, stage):
+    """Re-crawl fallback for incremental link: some already-linked
+    url's content changed, and a merge cannot retract links — so
+    rebuild the canonical map, the norm→hub index, and the url index
+    from ALL current triples (retractions included). Subsequent
+    append-only deltas resume incrementally. Hubs cover EVERY normal
+    form (singletons too) so future deltas can link against them.
+
+    Write order is load-bearing: canonical_map first (replace —
+    crash-safe), then hubs, then the url index LAST. A crash before
+    the url index rewrite leaves the old index in place, so the
+    retry still detects the changed urls and re-runs the rebuild; a
+    crash after it cannot strand a stale map (the map was written
+    first)."""
+    from kgpipe.operators.cc import canonical_map_for_nodes
+    from kgpipe.operators.link import normalize_uri
+
+    explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
+    base = (
+        triples.select(F.col("s").alias("uri"))
+        .union(triples.select(F.col("o").alias("uri")))
+        .distinct()
+        .select("uri", normalize_uri(F.col("uri")).alias("norm"))
+    )
+    hubs_all = base.groupBy("norm").agg(F.min("uri").alias("hub")).localCheckpoint(
+        eager=True
+    )
+    star = (
+        base.join(hubs_all, "norm")
+        .where(F.col("uri") != F.col("hub"))
+        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+    )
+    edges = explicit.union(star).distinct().localCheckpoint(eager=True)
+    n_edges = edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("uri"))
+        .union(edges.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    cmap = canonical_map_for_nodes(nodes, edges, max_iter=cfg.cc_max_iter)
+    io.replace(cmap, "canonical_map")
+    io.drop("norm_hubs")
+    io.write(
+        hubs_all.withColumn("batch_fp", F.lit("rebuild")),
+        "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
+    )
+    io.write(
+        spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
+        "link_bucket_stats", mode="overwrite",
+    )
+    io.drop("linked_urls")
+    io.write(
+        cur_urls.withColumn("batch_fp", F.lit("rebuild")),
+        "linked_urls", mode="overwrite", partition_by=["batch_fp"],
+    )
+    n_urls = cur_urls.count()
+    stats = spark.createDataFrame(
+        [(0, 0, n_urls, n_edges, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)

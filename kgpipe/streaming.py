@@ -218,7 +218,13 @@ def windowed_event_counts(
     )
 
 
-DEDUP_STATE_DDL = "n_seen long, first_seen_ms long"
+# state schemas per mode: the legacy 1-field shape is KEPT for
+# non-TTL streams so checkpoints created before the TTL feature
+# restart cleanly (a widened state schema fails Spark's state
+# compatibility check and would force discarding all dedup state);
+# TTL mode — new surface, no legacy checkpoints — carries first_seen
+DEDUP_STATE_DDL = "n_seen long"
+DEDUP_TTL_STATE_DDL = "n_seen long, first_seen_ms long"
 
 
 def dedup_stream(
@@ -259,14 +265,18 @@ def dedup_stream(
     continuous-trigger deployment adds timer eviction; the
     SEMANTICS (first-arrival-wins within a TTL horizon) are
     identical either way. None (default) = exact forever-dedup,
-    whose state is one row per distinct key by definition."""
+    whose state is one row per distinct key by definition (and keeps
+    the pre-TTL 1-field state schema, so existing checkpoints
+    restart unchanged); 0 = every arrival re-admits."""
     import time as _time
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     cols = df.columns
-    ttl_ms = int(state_ttl_minutes * 60_000) if state_ttl_minutes else None
+    ttl_ms = (
+        int(state_ttl_minutes * 60_000) if state_ttl_minutes is not None else None
+    )
 
     def fn(key, pdfs, state: GroupState):
         # stream the chunks: a degenerate hot key (boilerplate
@@ -289,10 +299,18 @@ def dedup_stream(
             )
         if n_new == 0:
             return
+        if ttl_ms is None:
+            if state.exists:
+                (n_seen,) = state.get
+                state.update((n_seen + n_new,))
+                return  # key already emitted in an earlier trigger
+            state.update((n_new,))
+            yield best[cols]
+            return
         now_ms = int(_time.time() * 1000)
         if state.exists:
             n_seen, first_seen_ms = state.get
-            if ttl_ms is not None and (now_ms - first_seen_ms) > ttl_ms:
+            if (now_ms - first_seen_ms) > ttl_ms:
                 # horizon passed: re-admit as a fresh first arrival
                 state.update((n_new, now_ms))
                 yield best[cols]
@@ -302,8 +320,9 @@ def dedup_stream(
         state.update((n_new, now_ms))
         yield best[cols]
 
+    state_ddl = DEDUP_STATE_DDL if ttl_ms is None else DEDUP_TTL_STATE_DDL
     return df.groupBy(key_col).applyInPandasWithState(
-        fn, output_ddl, DEDUP_STATE_DDL, "append", GroupStateTimeout.NoTimeout
+        fn, output_ddl, state_ddl, "append", GroupStateTimeout.NoTimeout
     )
 
 

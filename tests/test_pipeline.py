@@ -314,3 +314,36 @@ def test_incremental_link_refuses_lsh(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="incremental_link"):
         run_pipeline(spark, spark.createDataFrame(gen_pages(10)), cfg)
+
+
+def test_incremental_link_recrawl_triggers_rebuild(spark, tmp_path):
+    """A re-crawled url (content changed → possible retraction) must
+    NOT be merged silently: the stage detects the changed url
+    fingerprint, rebuilds from all current triples, and the result
+    equals a fresh full recompute over the modified corpus."""
+    pages = gen_pages(60)
+    cfg_inc = PipelineConfig(
+        warehouse=str(tmp_path / "wh_rc"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4, incremental_link=True,
+    )
+    run_pipeline(spark, spark.createDataFrame(pages).repartition(3), cfg_inc)
+
+    # re-crawl: swap the html of two pages (two urls' content changes)
+    recrawled = pages.copy()
+    recrawled.loc[0, "html"], recrawled.loc[1, "html"] = (
+        pages.loc[1, "html"], pages.loc[0, "html"],
+    )
+    res_inc = run_pipeline(
+        spark, spark.createDataFrame(recrawled).repartition(3), cfg_inc
+    )
+
+    cfg_full = PipelineConfig(
+        warehouse=str(tmp_path / "wh_rc_full"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4,
+    )
+    res_full = run_pipeline(
+        spark, spark.createDataFrame(recrawled).repartition(3), cfg_full
+    )
+    cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
+    cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
+    assert cmap_inc == cmap_full

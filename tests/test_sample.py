@@ -48,7 +48,21 @@ def test_seeds_give_independent_samples(spark, ids):
 def test_knuth_bucket_matches_python(spark, ids):
     got = {r.doc_id: r.b for r in ids.select("doc_id", knuth_bucket(F.col("doc_id")).alias("b")).limit(100).collect()}
     for k, v in got.items():
-        assert v == (k * 2654435761) % 1_000_000
+        assert v == ((k & 0x7FFFFFFF) * 2654435761) % 1_000_000
+
+
+def test_knuth_bucket_no_overflow_on_huge_keys(spark):
+    """Keys beyond 2^31 must not overflow the 64-bit product (ANSI
+    mode raises on overflow; non-ANSI silently wraps and diverges
+    from the oracle — both are wrong)."""
+    df = spark.createDataFrame(
+        [(4_000_000_000,), (2**62,), (-5,)], "doc_id long"
+    )
+    got = {r.doc_id: r.b for r in df.select(
+        "doc_id", knuth_bucket(F.col("doc_id")).alias("b")
+    ).collect()}
+    for k, v in got.items():
+        assert v == ((k & 0x7FFFFFFF) * 2654435761) % 1_000_000
 
 
 def test_stratified_fractions(spark):
