@@ -220,6 +220,19 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", top_k=3)
 
 
+def q_contamination_flags(spark, sf_dir):
+    """Benchmark decontamination (operators/textops): documents
+    sharing ≥2 distinct word 3-grams with a pseudo eval set (every
+    97th document). The benchmark gram set broadcasts; the corpus
+    side is one narrow explode + map-side join — the shape that
+    sweeps 10^12 docs against a fixed eval suite."""
+    from kgpipe.operators.textops import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, "doc_id", "text", bench, "text", k=3, min_shared=2)
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Corpus-hygiene boilerplate detector (operators/textops): word
     2-grams present in ≥5% of documents — what a training-data
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "contamination_flags": q_contamination_flags,
         "abbrev_compat_lines": q_abbrev_compat_lines,
         "top_predicates": q_top_predicates,
         "triples_distinct": q_triples_distinct,
@@ -941,6 +955,22 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, term, tfidf, cast(rank as integer) as rank
             from ranked where rank <= 3
+        """,
+        "contamination_flags": r"""
+            with g as (
+              select distinct doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' ')))) as gram
+              from (select doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') as w
+                    from documents)
+            ), bg as (
+              select distinct gram from g where doc_id % 97 = 0
+            )
+            select g.doc_id, count(*) as n_shared
+            from g join bg using (gram)
+            group by g.doc_id
+            having count(*) >= 2
         """,
         "boilerplate_ngrams": r"""
             with g as (

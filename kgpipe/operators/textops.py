@@ -180,3 +180,45 @@ def boilerplate_ngrams(
             F.round(F.col("n_docs") / F.lit(float(n_docs)), 6).alias("doc_frac"),
         )
     )
+
+
+def contamination_flags(
+    docs,
+    id_col: str,
+    text_col: str,
+    benchmark,
+    bench_text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 2,
+):
+    """Benchmark DECONTAMINATION — the training-data hygiene pass
+    that keeps eval sets out of the corpus: flag every document
+    sharing ≥ min_shared distinct word k-grams with ANY benchmark
+    text. → (doc_id, n_shared), descending-filterable.
+
+    Shape for 10^12 docs: the benchmark side is small by definition
+    (eval suites are thousands of texts, not billions), so its
+    distinct gram set BROADCASTS — the corpus side is one narrow
+    explode + a map-side hash join + one groupBy(doc) count
+    (partially aggregated). No corpus-side self-join, no shuffle of
+    the gram space."""
+    from pyspark.sql import functions as F
+
+    from kgpipe.operators.dedup import word_shingles
+
+    bg = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    ).distinct()
+    return (
+        dg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -143,3 +143,25 @@ def test_boilerplate_ngrams_threshold(spark):
     ).collect()}
     assert got.get("all rights reserved") == 20
     assert not any(g.startswith("unique") for g in got)
+
+
+def test_contamination_flags(spark):
+    from kgpipe.operators.textops import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated content about spark pipelines"),
+            (2, "he saw the quick brown fox jumps away"),   # shares 3-grams
+            (3, "quick brown dogs are not foxes"),           # shares none (3-gram)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared for r in contamination_flags(
+        docs, "doc_id", "text", bench, "text", k=3, min_shared=2
+    ).collect()}
+    assert set(got) == {2}
+    assert got[2] >= 2  # 'the quick brown', 'quick brown fox', 'brown fox jumps'
