@@ -391,15 +391,27 @@ class TableIO:
         if not fs.rename(old_p, aside_p):
             raise IOError(f"compact: rename {old_p} -> {aside_p} failed")
         if not fs.rename(tmp_p, old_p):
-            fs.rename(aside_p, old_p)  # restore before failing
+            self._restore_aside(fs, aside_p, old_p)  # restore before failing
             raise IOError(f"compact: rename {tmp_p} -> {old_p} failed")
         # delete the aside ONLY after verifying the live path took:
         # self.exists checks for actual parquet data, not just a dir
         if not self.exists(name):
-            fs.rename(aside_p, old_p)
+            self._restore_aside(fs, aside_p, old_p)
             raise IOError(f"compact: swapped-in table at {old_p} is empty — restored")
         fs.delete(aside_p, True)
         return n
+
+    @staticmethod
+    def _restore_aside(fs, aside_p, live_p) -> None:
+        """Move the aside copy back to the live path. Hadoop
+        FileSystem.rename onto an EXISTING directory moves the source
+        INSIDE it (nesting the aside under the live path instead of
+        replacing it), so any dir the failed swap left at the live
+        path must be deleted first."""
+        if fs.exists(live_p):
+            fs.delete(live_p, True)
+        if not fs.rename(aside_p, live_p):
+            raise IOError(f"restore rename {aside_p} -> {live_p} failed")
 
     def recover_replace(self, name: str) -> None:
         """Heal a table mid-`replace`: a crash between the two swap

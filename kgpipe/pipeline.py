@@ -295,6 +295,20 @@ NORM_HUBS_DDL = "norm string, hub string, batch_fp string"
 LINKED_URLS_DDL = "url string, ufp long, batch_fp string"
 
 
+def _url_fingerprints(triples) -> DataFrame:
+    """(url, ufp): per-url content fingerprint of the clean triples.
+    The xor of row hashes alone cancels rows with even multiplicity
+    ([A,A,B] → [B] keeps the same xor), so the row COUNT is folded
+    into the final hash — mirroring _triples_fingerprint, which pairs
+    its xor with a count for exactly this reason."""
+    return triples.groupBy("url").agg(
+        F.xxhash64(
+            F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)),
+            F.count(F.lit(1)),
+        ).alias("ufp")
+    )
+
+
 def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog):
     """Delta-only link + canonicalize, keyed at the URL level: link
     ONLY triples whose url has never been linked. Delta detection by
@@ -338,7 +352,7 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
     fully: merged components relabel OLD edges' canon ids, so the
     edge table cannot be patched per-part without a canon-diff pass.
     """
-    if cfg.jaccard_threshold < 1.0:
+    if cfg.neardup_link and cfg.jaccard_threshold < 1.0:
         raise ValueError(
             "incremental_link requires exact-normalized linking "
             "(jaccard_threshold == 1.0); LSH near-dup linking needs the "
@@ -349,21 +363,24 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
 
     stage = "link_urls"
     # per-url content fingerprints of the CLEAN triples — one pass
-    cur = (
-        triples.groupBy("url")
-        .agg(F.coalesce(F.bit_xor(F.xxhash64("s", "p", "o")), F.lit(0)).alias("ufp"))
-        .localCheckpoint(eager=True)
-    )
+    cur = _url_fingerprints(triples).localCheckpoint(eager=True)
     if io.exists("linked_urls"):
         prev_urls = io.read("linked_urls", LINKED_URLS_DDL).select(
             "url", F.col("ufp").alias("old_ufp")
         )
     else:
         prev_urls = spark.createDataFrame([], "url string, old_ufp long")
-    joined = cur.join(prev_urls, "url", "left")
+    # FULL join: a url present in the index but absent from the
+    # current triples is a RETRACTION (the crawl shrank) — merge-only
+    # incrementality cannot retract its links, so it must route to the
+    # rebuild exactly like a changed fingerprint. A left join would
+    # never surface such urls at all and their stale edges would stay
+    # merged forever.
+    joined = cur.join(prev_urls, "url", "full")
     changed = (
         joined.where(
-            F.col("old_ufp").isNotNull() & (F.col("ufp") != F.col("old_ufp"))
+            F.col("old_ufp").isNotNull()
+            & (F.col("ufp").isNull() | (F.col("ufp") != F.col("old_ufp")))
         ).limit(1).count()
         > 0
     )
@@ -381,41 +398,47 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
     delta = triples.join(new_urls.select("url"), "url", "left_semi")
 
     explicit = sameas_edges_from_triples(delta, cfg.sameas_pred)
-    base = (
-        delta.select(F.col("s").alias("uri"))
-        .union(delta.select(F.col("o").alias("uri")))
-        .distinct()
-        .select("uri", normalize_uri(F.col("uri")).alias("norm"))
-    )
-    if io.exists("norm_hubs"):
-        hubs = io.read("norm_hubs", NORM_HUBS_DDL).select("norm", "hub")
+    if cfg.neardup_link:
+        base = (
+            delta.select(F.col("s").alias("uri"))
+            .union(delta.select(F.col("o").alias("uri")))
+            .distinct()
+            .select("uri", normalize_uri(F.col("uri")).alias("norm"))
+        )
+        if io.exists("norm_hubs"):
+            hubs = io.read("norm_hubs", NORM_HUBS_DDL).select("norm", "hub")
+        else:
+            hubs = spark.createDataFrame([], "norm string, hub string")
+        # seen normal forms: one edge to the existing hub suffices for
+        # connectivity (all earlier members already reach that hub)
+        matched = (
+            base.join(hubs, "norm")
+            .where(F.col("uri") != F.col("hub"))
+            .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+        )
+        # unseen normal forms: elect the min URI as hub, star the rest.
+        # Eager: new_hubs feeds BOTH the star edges and the norm_hubs
+        # write — without the pin, the write re-runs the whole delta
+        # derivation (scan, normalize, anti-join, groupBy) a second time.
+        unmatched = base.join(hubs, "norm", "left_anti")
+        new_hubs = (
+            unmatched.groupBy("norm")
+            .agg(F.min("uri").alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+        star_new = (
+            unmatched.join(new_hubs, "norm")
+            .where(F.col("uri") != F.col("hub"))
+            .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+        )
+        delta_edges = explicit.union(matched).union(star_new)
     else:
-        hubs = spark.createDataFrame([], "norm string, hub string")
-    # seen normal forms: one edge to the existing hub suffices for
-    # connectivity (all earlier members already reach that hub)
-    matched = (
-        base.join(hubs, "norm")
-        .where(F.col("uri") != F.col("hub"))
-        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
-    )
-    # unseen normal forms: elect the min URI as hub, star the rest.
-    # Eager: new_hubs feeds BOTH the star edges and the norm_hubs
-    # write — without the pin, the write re-runs the whole delta
-    # derivation (scan, normalize, anti-join, groupBy) a second time.
-    unmatched = base.join(hubs, "norm", "left_anti")
-    new_hubs = (
-        unmatched.groupBy("norm")
-        .agg(F.min("uri").alias("hub"))
-        .localCheckpoint(eager=True)
-    )
-    star_new = (
-        unmatched.join(new_hubs, "norm")
-        .where(F.col("uri") != F.col("hub"))
-        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
-    )
-    delta_edges = explicit.union(matched).union(star_new).distinct().localCheckpoint(
-        eager=True
-    )
+        # full-path parity: with the near-dup linker off, the full
+        # stage links ONLY explicit sameAs edges — the incremental
+        # mode must not invent norm→hub edges the full mode never made
+        new_hubs = None
+        delta_edges = explicit
+    delta_edges = delta_edges.distinct().localCheckpoint(eager=True)
     n_edges = delta_edges.count()
 
     # heal any half-finished swap from a crashed prior attempt BEFORE
@@ -442,10 +465,11 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
         F.coalesce(F.bit_xor(F.col("ufp")), F.lit(0)).alias("fp")
     ).collect()[0]
     batch_fp = "%016x" % (int(fp_row["fp"]) & ((1 << 64) - 1))
-    io.write(
-        new_hubs.withColumn("batch_fp", F.lit(batch_fp)),
-        "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
-    )
+    if new_hubs is not None:
+        io.write(
+            new_hubs.withColumn("batch_fp", F.lit(batch_fp)),
+            "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
+        )
     # url index LAST: a crash anywhere above re-detects this delta
     io.write(
         new_urls.withColumn("batch_fp", F.lit(batch_fp)),
@@ -476,21 +500,25 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
     from kgpipe.operators.link import normalize_uri
 
     explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
-    base = (
-        triples.select(F.col("s").alias("uri"))
-        .union(triples.select(F.col("o").alias("uri")))
-        .distinct()
-        .select("uri", normalize_uri(F.col("uri")).alias("norm"))
-    )
-    hubs_all = base.groupBy("norm").agg(F.min("uri").alias("hub")).localCheckpoint(
-        eager=True
-    )
-    star = (
-        base.join(hubs_all, "norm")
-        .where(F.col("uri") != F.col("hub"))
-        .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
-    )
-    edges = explicit.union(star).distinct().localCheckpoint(eager=True)
+    if cfg.neardup_link:
+        base = (
+            triples.select(F.col("s").alias("uri"))
+            .union(triples.select(F.col("o").alias("uri")))
+            .distinct()
+            .select("uri", normalize_uri(F.col("uri")).alias("norm"))
+        )
+        hubs_all = base.groupBy("norm").agg(F.min("uri").alias("hub")).localCheckpoint(
+            eager=True
+        )
+        star = (
+            base.join(hubs_all, "norm")
+            .where(F.col("uri") != F.col("hub"))
+            .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
+        )
+        edges = explicit.union(star).distinct().localCheckpoint(eager=True)
+    else:
+        hubs_all = None
+        edges = explicit.distinct().localCheckpoint(eager=True)
     n_edges = edges.count()
     nodes = (
         edges.select(F.col("src").alias("uri"))
@@ -500,10 +528,11 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
     cmap = canonical_map_for_nodes(nodes, edges, max_iter=cfg.cc_max_iter)
     io.replace(cmap, "canonical_map")
     io.drop("norm_hubs")
-    io.write(
-        hubs_all.withColumn("batch_fp", F.lit("rebuild")),
-        "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
-    )
+    if hubs_all is not None:
+        io.write(
+            hubs_all.withColumn("batch_fp", F.lit("rebuild")),
+            "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
+        )
     io.write(
         spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
         "link_bucket_stats", mode="overwrite",

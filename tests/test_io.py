@@ -256,3 +256,29 @@ def test_replace_swap_and_crash_recovery(spark, tmp_path):
 
     with pytest.raises(ValueError, match="Iceberg"):
         TableIO(spark, "s3a://bucket/wh").replace(None, "x")
+
+
+def test_restore_aside_replaces_existing_live_dir(spark, tmp_path):
+    """compact()'s failure-path restore must not nest the aside copy
+    INSIDE a directory the failed swap left at the live path (Hadoop
+    rename onto an existing dir moves the source inside it) — the
+    live dir is deleted first, so the restored table sits AT the live
+    path."""
+    import os
+
+    from kgpipe.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    live = tmp_path / "t"
+    aside = tmp_path / "t__precompact"
+    live.mkdir()
+    (live / "junk.txt").write_text("leftover from failed swap")
+    aside.mkdir()
+    (aside / "real.parquet").write_text("the only complete copy")
+
+    fs, live_p = io._fs(str(live))
+    _, aside_p = io._fs(str(aside))
+    TableIO._restore_aside(fs, aside_p, live_p)
+
+    assert sorted(os.listdir(live)) == ["real.parquet"]
+    assert not aside.exists()

@@ -347,3 +347,78 @@ def test_incremental_link_recrawl_triggers_rebuild(spark, tmp_path):
     cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
     cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
     assert cmap_inc == cmap_full
+
+
+def test_url_fingerprint_breaks_even_multiplicity(spark):
+    """[A, A, B] → [B] keeps the same xor of row hashes (A cancels
+    itself), so the url fingerprint must fold in the row count or a
+    re-crawl that retracts an even number of copies goes undetected."""
+    from kgpipe.pipeline import _url_fingerprints
+
+    before = spark.createDataFrame(
+        [("a", "p", "x", "u"), ("a", "p", "x", "u"), ("b", "p", "y", "u")],
+        "s string, p string, o string, url string",
+    )
+    after = spark.createDataFrame(
+        [("b", "p", "y", "u")], "s string, p string, o string, url string"
+    )
+    fp_before = _url_fingerprints(before).collect()[0]["ufp"]
+    fp_after = _url_fingerprints(after).collect()[0]["ufp"]
+    assert fp_before != fp_after
+
+
+def test_incremental_link_url_removal_triggers_rebuild(spark, tmp_path):
+    """A url present in the linked_urls index but ABSENT from the
+    current triples is a retraction: merge-only incrementality cannot
+    un-link it, so the stage must rebuild — the shrunken corpus's
+    result must equal a from-scratch run, with no stale canon entries
+    from the removed pages."""
+    pages = gen_pages(60)
+    cfg_inc = PipelineConfig(
+        warehouse=str(tmp_path / "wh_rm"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4, incremental_link=True,
+    )
+    run_pipeline(spark, spark.createDataFrame(pages).repartition(3), cfg_inc)
+
+    shrunk = pages.iloc[:45]
+    res_inc = run_pipeline(
+        spark, spark.createDataFrame(shrunk).repartition(3), cfg_inc
+    )
+    cfg_full = PipelineConfig(
+        warehouse=str(tmp_path / "wh_rm_full"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4,
+    )
+    res_full = run_pipeline(
+        spark, spark.createDataFrame(shrunk).repartition(3), cfg_full
+    )
+    cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
+    cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
+    assert cmap_inc == cmap_full
+
+
+def test_incremental_link_respects_neardup_false(spark, tmp_path):
+    """incremental_link with neardup_link=False must produce the same
+    canonical map as the full path with neardup_link=False (explicit
+    sameAs edges ONLY — no invented norm→hub edges), and must not
+    build the norm_hubs index at all."""
+    import os
+
+    all_pages = gen_pages(80)
+    wh = str(tmp_path / "wh_nd0")
+    cfg_inc = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=4,
+        incremental_link=True, neardup_link=False,
+    )
+    run_pipeline(spark, spark.createDataFrame(all_pages.iloc[:50]).repartition(3), cfg_inc)
+    res_inc = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(3), cfg_inc)
+
+    cfg_full = PipelineConfig(
+        warehouse=str(tmp_path / "wh_nd0_full"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=4, neardup_link=False,
+    )
+    res_full = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(3), cfg_full)
+
+    cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
+    cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
+    assert cmap_inc == cmap_full
+    assert not os.path.exists(os.path.join(wh, "norm_hubs"))
