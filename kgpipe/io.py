@@ -472,6 +472,127 @@ class TableIO:
         if had_live:
             fs.delete(aside, True)
 
+    # -- small json side-files (markers, applied-batch ledgers) --------
+    def write_json_atomic(self, name: str, obj) -> None:
+        """Write a small root-level json file via temp+rename, so a
+        reader never observes a half-written marker. Rename within one
+        directory is atomic on HDFS/local (object stores are already
+        refused for every swap-based protocol here)."""
+        import json
+
+        fs, tmp = self._fs(self.path(f"{name}.tmp"))
+        _, final = self._fs(self.path(name))
+        out = fs.create(tmp, True)
+        out.writeBytes(json.dumps(obj, ensure_ascii=True))
+        out.close()
+        if fs.exists(final):
+            fs.delete(final, False)
+        if not fs.rename(tmp, final):
+            raise IOError(f"write_json_atomic: rename {tmp} -> {final} failed")
+
+    def read_json(self, name: str):
+        """Read a json side-file written by write_json_atomic, or None
+        if absent."""
+        import json
+
+        fs, p = self._fs(self.path(name))
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            txt = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+            return json.loads(txt)
+        finally:
+            stream.close()
+
+    # -- partition-level crash-safe patching ---------------------------
+    def _patch_marker(self, name: str) -> str:
+        return f"{name}__patch.json"
+
+    def recover_patch(self, name: str) -> None:
+        """Finish a partition patch whose process died mid-swap. The
+        commit marker (written only AFTER the staging dir is complete)
+        records every partition value with whether staged data exists
+        for it; replaying the swap loop is idempotent:
+          - has_data and staged dir present  → swap it in now
+          - has_data and staged dir absent   → already swapped, skip
+          - no data (partition emptied)      → delete the live dir
+        MUST run before reading or patching a partition-patched table."""
+        marker = self.read_json(self._patch_marker(name))
+        if marker is None:
+            return
+        part_col = marker["part_col"]
+        fs, root = self._fs(self.path(name))
+        _, staging = self._fs(self.path(f"{name}__patchstage"))
+        for ent in marker["parts"]:
+            val, has_data = ent["val"], ent["has_data"]
+            jvm = self.spark._jvm
+            live_d = jvm.org.apache.hadoop.fs.Path(root, f"{part_col}={val}")
+            staged_d = jvm.org.apache.hadoop.fs.Path(staging, f"{part_col}={val}")
+            if has_data:
+                if fs.exists(staged_d):
+                    if fs.exists(live_d):
+                        fs.delete(live_d, True)
+                    if not fs.rename(staged_d, live_d):
+                        raise IOError(f"patch: rename {staged_d} -> {live_d} failed")
+            else:
+                if fs.exists(live_d):
+                    fs.delete(live_d, True)
+        fs.delete(staging, True)
+        fs, mk = self._fs(self.path(self._patch_marker(name)))
+        fs.delete(mk, False)
+
+    def patch_partitions(self, df: DataFrame, name: str, part_col: str, part_vals: list) -> None:
+        """Crash-safe replacement of a SUBSET of a partitioned table's
+        partitions — the primitive behind incremental edge
+        materialization: at 100 TB a daily delta must rewrite the few
+        partitions it touches, not the table.
+
+        `df` must contain the FULL new content of exactly the
+        partitions in `part_vals` (a partition whose new content is
+        empty is deleted). Protocol: (1) heal any earlier crashed
+        patch; (2) write df into a staging dir, partitioned — the live
+        table is read-consistent throughout, so df may derive from it;
+        (3) write a commit marker listing every target partition and
+        whether staged data exists for it; (4) swap partition dirs
+        (delete live, rename staged — the staged dir is never deleted
+        before landing, so a crash between the two steps leaves the
+        only copy in staging and the marker replays it); (5) drop
+        staging + marker. A crash before (3) leaves the live table
+        untouched; after (3), recover_patch completes the swap.
+
+        Refused on object stores — rename is copy+delete there; use
+        the Iceberg catalog's row-level operations instead."""
+        if self.catalog is not None:
+            raise ValueError(
+                "patch_partitions: use the Iceberg catalog's overwritePartitions "
+                "path (TableIO.write with partition_by) in catalog mode"
+            )
+        scheme = self._scheme()
+        if scheme in self._NON_ATOMIC_RENAME_SCHEMES:
+            raise ValueError(
+                f"patch_partitions: unsafe on {scheme}:// (rename is copy+delete)"
+            )
+        self.recover_patch(name)
+        staging = f"{name}__patchstage"
+        fs, staging_p = self._fs(self.path(staging))
+        if fs.exists(staging_p):
+            fs.delete(staging_p, True)  # stale pre-marker leftovers
+        df.write.mode("overwrite").partitionBy(part_col).parquet(self.path(staging))
+        jvm = self.spark._jvm
+        parts = []
+        for val in part_vals:
+            staged_d = jvm.org.apache.hadoop.fs.Path(staging_p, f"{part_col}={val}")
+            parts.append({"val": val, "has_data": bool(fs.exists(staged_d))})
+        self.write_json_atomic(
+            self._patch_marker(name), {"part_col": part_col, "parts": parts}
+        )
+        # the swap loop IS the recovery loop — one code path, replayed
+        # verbatim after any crash past the marker write
+        self.recover_patch(name)
+
     def drop(self, name: str) -> None:
         if self.catalog is not None:
             self.spark.sql(f"drop table if exists {self._ident(name)}")

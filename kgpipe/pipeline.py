@@ -96,19 +96,22 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
     _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
     triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
 
-    # ONE fingerprint scan of the triples table, shared by both
-    # whole-stage checkpoints (link and materialize key their resume
-    # decision on the same input identity — computing it twice was a
-    # full extra pass over the table)
-    fp = _triples_fingerprint(triples)
-
     if cfg.incremental_link:
+        # no whole-table fingerprint here: the incremental stages key
+        # their resume decisions on the url index and the applied-batch
+        # ledger, so a delta run never pays a full triples scan
         _stage_link_incremental(spark, triples, cfg, io, log)
+        cmap = io.read("canonical_map", CMAP_DDL)
+        _stage_materialize_incremental(spark, triples, cmap, cfg, io, log)
     else:
+        # ONE fingerprint scan of the triples table, shared by both
+        # whole-stage checkpoints (link and materialize key their
+        # resume decision on the same input identity — computing it
+        # twice was a full extra pass over the table)
+        fp = _triples_fingerprint(triples)
         _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
-    cmap = io.read("canonical_map", CMAP_DDL)
-
-    _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
+        cmap = io.read("canonical_map", CMAP_DDL)
+        _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
     edges = _read_edges(io)
 
     counters = {
@@ -528,9 +531,17 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
     cmap = canonical_map_for_nodes(nodes, edges, max_iter=cfg.cc_max_iter)
     io.replace(cmap, "canonical_map")
     io.drop("norm_hubs")
+    # unique-per-content rebuild id (prefix routes materialize to its
+    # own rebuild): a SECOND re-crawl would otherwise reuse the same
+    # batch id as the first, and the applied-batch ledger would see
+    # "nothing pending" and skip the edge rebuild
+    fp_row = cur_urls.agg(
+        F.coalesce(F.bit_xor(F.col("ufp")), F.lit(0)).alias("fp")
+    ).collect()[0]
+    batch_fp = "rebuild_%016x" % (int(fp_row["fp"]) & ((1 << 64) - 1))
     if hubs_all is not None:
         io.write(
-            hubs_all.withColumn("batch_fp", F.lit("rebuild")),
+            hubs_all.withColumn("batch_fp", F.lit(batch_fp)),
             "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
         )
     io.write(
@@ -539,12 +550,192 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
     )
     io.drop("linked_urls")
     io.write(
-        cur_urls.withColumn("batch_fp", F.lit("rebuild")),
+        cur_urls.withColumn("batch_fp", F.lit(batch_fp)),
         "linked_urls", mode="overwrite", partition_by=["batch_fp"],
     )
     n_urls = cur_urls.count()
     stats = spark.createDataFrame(
         [(0, 0, n_urls, n_edges, 0)],
+        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
+    )
+    log.mark_done(stage, stats)
+
+
+EDGES_INC_DDL = "canon_s string, p string, canon_o string, b_fp string, part_id int"
+MAT_STATE = "edges_mat_state.json"
+# above this many changed canon labels the delta relabel map stops
+# being broadcast-sized and a full rebuild is cheaper anyway (a merge
+# storm touching a quarter of the corpus is not a "delta")
+CHANGED_BROADCAST_LIMIT = 1_000_000
+
+
+def _stage_materialize_incremental(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLog):
+    """Canon-diff edge patching: rewrite ONLY the edge partitions a
+    delta actually touches, instead of rebuilding the table per run
+    (the r4 verdict's #1 gap — at daily-delta scale the full rewrite
+    dominated everything the incremental link saved).
+
+    Layout: edges partitioned by part_id = pmod(xxhash64(canon_s),
+    n_buckets) — hive partition dirs, NOT bucketBy, because partition
+    dirs are the unit patch_partitions can swap crash-safely. Each row
+    carries b_fp, the batch that produced it (see idempotence below).
+
+    Which partitions must be rewritten:
+      A  old homes of changed canon_s labels  — pmod(hash(old_c)),
+         computed driver-side from the canon diff (no scan)
+      B  new homes of relabeled rows          — pmod(hash(new_c)), same
+      C  partitions holding edges whose canon_o changed — canon_o does
+         not determine the partition, so this needs one READ-ONLY scan
+         of the edge table against the broadcast diff; skipped
+         entirely when the diff is empty (pure append, no cross-batch
+         merges — the common daily case patches only set D with zero
+         scans of anything old)
+      D  partitions receiving the delta's own new edges
+    Every partition in A∪B∪C∪D is rewritten IN FULL (old rows
+    relabeled through the diff + delta rows landing there) — dynamic-
+    overwrite-style patching must replace whole partitions, and a row
+    whose canon_s changed may MOVE between partitions.
+
+    The canon diff maps old fixed points to their new labels:
+    nontrivial rows of the new map whose uri has NO nontrivial row in
+    the map as of the last materialize (edges_cmap). Under merge-only
+    incrementality (the link stage rebuilds on any retraction) this
+    relabel composes exactly: coalesce(diff[old_eff(u)], old_eff(u))
+    == new_eff(u) for every uri u, so patched edges equal a full
+    recompute — pinned in test_pipeline against the full path.
+
+    Idempotence across crashes: patch_partitions itself replays via
+    its commit marker; a crash AFTER the patch but BEFORE the state
+    markers update re-runs the stage with the delta already applied —
+    old rows tagged with a still-pending b_fp are EXCLUDED from the
+    relabel input, so re-unioning the delta cannot duplicate them, and
+    relabeling already-relabeled values is the identity (new labels
+    are fixed points of the diff). State markers (edges_cmap via
+    replace, the applied-batch ledger via atomic json) go last.
+
+    Falls back to a full (partitioned-layout) rebuild when: the edge
+    table or diff base is missing, the layout is bucketed (full-mode
+    leftovers), a rebuild batch is pending (re-crawl — retractions
+    invalidate merge-only relabeling), n_buckets changed, or the diff
+    exceeds the broadcast budget."""
+    stage = "materialize"
+    io.recover_patch("edges")
+    io.recover_replace("edges_cmap")
+    state = io.read_json(MAT_STATE) or {}
+    applied = set(state.get("batches", []))
+    linked = io.read("linked_urls", LINKED_URLS_DDL)
+    all_batches = sorted(
+        r["batch_fp"] for r in linked.select("batch_fp").distinct().collect()
+    )
+    pending = [b for b in all_batches if b not in applied]
+    if not pending and io.exists("edges") and io.exists("edges_cmap"):
+        return
+    nontrivial = cmap.where(F.col("uri") != F.col("canon_id"))
+
+    full_needed = (
+        # catalog mode: Iceberg's overwritePartitions cannot DELETE a
+        # partition the patch emptied — the snapshot-safe row-level
+        # path (MERGE) is the cluster answer; here rebuild
+        io.catalog is not None
+        or not io.exists("edges")
+        or not io.exists("edges_cmap")
+        or io.bucket_spec("edges") is not None
+        or any(b.startswith("rebuild") for b in pending)
+        or state.get("n_buckets") != cfg.n_buckets
+    )
+    changed = None
+    if not full_needed:
+        old_nt = io.read("edges_cmap", CMAP_DDL).select(
+            "uri", F.col("canon_id").alias("old_canon")
+        )
+        changed = (
+            nontrivial.join(old_nt, "uri", "left")
+            .where(F.col("old_canon").isNull())
+            .select(F.col("uri").alias("old_c"), F.col("canon_id").alias("new_c"))
+            .localCheckpoint(eager=True)
+        )
+        if changed.limit(CHANGED_BROADCAST_LIMIT + 1).count() > CHANGED_BROADCAST_LIMIT:
+            full_needed = True
+
+    obs = Observation()
+    if full_needed:
+        tag = pending[-1] if pending else "full"
+        out = edges_with_buckets(
+            canonicalize_triples(triples, cmap, broadcast_map=True), cfg.n_buckets
+        ).withColumn("b_fp", F.lit(tag))
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        io.drop("edges")  # stale partitions must not outlive a rebuild
+        io.write(
+            out.repartition(cfg.n_buckets, F.col("part_id")),
+            "edges", mode="overwrite", partition_by=["part_id"],
+        )
+    else:
+        pend_urls = linked.where(F.col("batch_fp").isin(pending)).select(
+            "url", "batch_fp"
+        )
+        delta_new = edges_with_buckets(
+            canonicalize_triples(
+                triples.join(F.broadcast(pend_urls), "url"), cmap,
+                broadcast_map=True, keep_cols=["batch_fp"],
+            ),
+            cfg.n_buckets,
+        ).withColumnRenamed("batch_fp", "b_fp").localCheckpoint(eager=True)
+
+        parts_ab = {
+            r["pt"]
+            for r in changed.select(
+                F.explode(
+                    F.array(
+                        F.pmod(F.xxhash64("old_c"), F.lit(cfg.n_buckets)).cast("int"),
+                        F.pmod(F.xxhash64("new_c"), F.lit(cfg.n_buckets)).cast("int"),
+                    )
+                ).alias("pt")
+            ).distinct().collect()
+        }
+        parts_d = {
+            r["part_id"] for r in delta_new.select("part_id").distinct().collect()
+        }
+        old_edges = io.read("edges", EDGES_INC_DDL)
+        parts_c = set()
+        if changed.limit(1).count() > 0:
+            parts_c = {
+                r["part_id"]
+                for r in old_edges.join(
+                    F.broadcast(changed.select(F.col("old_c").alias("canon_o"))),
+                    "canon_o", "left_semi",
+                ).select("part_id").distinct().collect()
+            }
+        parts_rw = sorted(parts_ab | parts_c | parts_d)
+
+        ch_s = changed.select(F.col("old_c").alias("canon_s"), F.col("new_c").alias("ns"))
+        ch_o = changed.select(F.col("old_c").alias("canon_o"), F.col("new_c").alias("no"))
+        relabeled = (
+            old_edges.where(F.col("part_id").isin(parts_rw))
+            .where(~F.col("b_fp").isin(pending))  # crash-retry exclusion
+            .join(F.broadcast(ch_s), "canon_s", "left")
+            .join(F.broadcast(ch_o), "canon_o", "left")
+            .select(
+                F.coalesce("ns", "canon_s").alias("canon_s"),
+                F.col("p"),
+                F.coalesce("no", "canon_o").alias("canon_o"),
+                F.col("b_fp"),
+            )
+        )
+        out = edges_with_buckets(relabeled, cfg.n_buckets).unionByName(delta_new)
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        if parts_rw:
+            io.patch_partitions(
+                out.repartition(max(len(parts_rw), 1), F.col("part_id")),
+                "edges", "part_id", parts_rw,
+            )
+
+    io.replace(nontrivial, "edges_cmap")
+    io.write_json_atomic(
+        MAT_STATE, {"batches": all_batches, "n_buckets": cfg.n_buckets}
+    )
+    n_out = obs.get["n"] if (full_needed or parts_rw) else 0
+    stats = spark.createDataFrame(
+        [(0, 0, len(pending), n_out, 0)],
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)
