@@ -88,32 +88,62 @@ class PipelineResult:
     counters: dict = field(default_factory=dict)
 
 
-def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> PipelineResult:
-    io = TableIO(spark, cfg.warehouse)
-    log = CheckpointLog(io)
-    rules = parse_rules(cfg.rules_text)
+RUN_MANIFEST = "run_manifest.json"
 
-    _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
-    triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
 
-    if cfg.incremental_link:
-        # no whole-table fingerprint here: the incremental stages key
-        # their resume decisions on the url index and the applied-batch
-        # ledger, so a delta run never pays a full triples scan
-        _stage_link_incremental(spark, triples, cfg, io, log)
-        cmap = io.read("canonical_map", CMAP_DDL)
-        _stage_materialize_incremental(spark, triples, cmap, cfg, io, log)
-    else:
-        # ONE fingerprint scan of the triples table, shared by both
-        # whole-stage checkpoints (link and materialize key their
-        # resume decision on the same input identity — computing it
-        # twice was a full extra pass over the table)
-        fp = _triples_fingerprint(triples)
-        _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
-        cmap = io.read("canonical_map", CMAP_DDL)
-        _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
-    edges = _read_edges(io)
+def _config_key(cfg: PipelineConfig) -> str:
+    """Digest of every config field that changes pipeline OUTPUT — a
+    no-op skip must never survive a config change."""
+    import hashlib
+    import json
 
+    blob = json.dumps(
+        {
+            "rules": cfg.rules_text, "mode": cfg.mode, "n_parts": cfg.n_parts,
+            "n_buckets": cfg.n_buckets, "sameas": cfg.sameas_pred,
+            "null": cfg.null_shortcut, "neardup": cfg.neardup_link,
+            "jt": cfg.jaccard_threshold, "cc": cfg.cc_max_iter,
+            "inc": cfg.incremental_link,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def _source_manifest(pages: DataFrame) -> str | None:
+    """File-level identity of the pages source: digest over the sorted
+    (path, length, modificationTime) of every input file plus the
+    frame's normalized logical plan (so a filter or projection over the
+    same files reads as a different source). None when the frame has no
+    file inputs (in-memory test frames) or a file vanished — callers
+    then fall back to content fingerprints. This is what makes a no-op
+    resume METADATA-ONLY: a rerun over unchanged files skips every
+    stage without one job over table data (r4 verdict "wrong" #2)."""
+    import hashlib
+    import json
+    import re
+
+    files = pages.inputFiles()
+    if not files:
+        return None
+    sc = pages.sparkSession
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    ents = []
+    for f in sorted(files):
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        try:
+            fs = p.getFileSystem(conf)
+            st = fs.getFileStatus(p)
+            ents.append([f, int(st.getLen()), int(st.getModificationTime())])
+        except Exception:
+            return None
+    plan = re.sub(r"#\d+", "#", pages._jdf.queryExecution().logical().toString())
+    ents.append(plan)
+    return hashlib.sha256(json.dumps(ents).encode()).hexdigest()
+
+
+def _collect_counters(io: TableIO, log: CheckpointLog) -> dict:
     counters = {
         r["stage"]: {"n_in": r["n_in"], "n_out": r["n_out"], "n_err": r["n_err"]}
         for r in log.read()
@@ -132,7 +162,80 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
         row = io.read("link_bucket_stats", LSH_STATS_DDL).collect()
         if row:
             counters["lsh_bucket_stats"] = row[0].asDict()
-    return PipelineResult(triples=triples, canonical_map=cmap, edges=edges, counters=counters)
+    return counters
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> PipelineResult:
+    io = TableIO(spark, cfg.warehouse)
+    log = CheckpointLog(io)
+    rules = parse_rules(cfg.rules_text)
+
+    manifest = _source_manifest(pages)
+    ckey = _config_key(cfg)
+    marker = io.read_json(RUN_MANIFEST)
+    marker_hit = (
+        manifest is not None
+        and marker is not None
+        and marker.get("manifest") == manifest
+        and marker.get("config") == ckey
+    )
+    if marker_hit:
+        # heal any crashed swap (pure filesystem metadata ops), then
+        # short-circuit the ENTIRE run if every output is in place —
+        # zero jobs over table data (pinned in test_pipeline)
+        io.recover_replace("canonical_map")
+        if cfg.incremental_link:
+            io.recover_patch("edges")
+            io.recover_replace("edges_cmap")
+        if io.exists("triples_raw") and io.exists("canonical_map") and io.exists("edges"):
+            triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
+            return PipelineResult(
+                triples=triples,
+                canonical_map=io.read("canonical_map", CMAP_DDL),
+                edges=_read_edges(io),
+                counters=_collect_counters(io, log),
+            )
+
+    _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
+    triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
+
+    fp = None
+    if cfg.incremental_link:
+        # no whole-table fingerprint here: the incremental stages key
+        # their resume decisions on the url index and the applied-batch
+        # ledger, so a delta run never pays a full triples scan
+        _stage_link_incremental(spark, triples, cfg, io, log)
+        cmap = io.read("canonical_map", CMAP_DDL)
+        _stage_materialize_incremental(spark, triples, cmap, cfg, io, log)
+    else:
+        # ONE fingerprint scan of the triples table, shared by both
+        # whole-stage checkpoints (link and materialize key their
+        # resume decision on the same input identity — computing it
+        # twice was a full extra pass over the table). When the source
+        # manifest matched (but an output table was missing) the fp is
+        # taken from the marker: same files → same triples, no scan.
+        if marker_hit and marker.get("triples_fp") is not None:
+            fp = (int(marker["triples_fp"]), int(marker["triples_n"]))
+        else:
+            fp = _triples_fingerprint(triples)
+        _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
+        cmap = io.read("canonical_map", CMAP_DDL)
+        _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
+    edges = _read_edges(io)
+
+    if manifest is not None:
+        io.write_json_atomic(
+            RUN_MANIFEST,
+            {
+                "manifest": manifest, "config": ckey,
+                "triples_fp": fp[0] if fp else None,
+                "triples_n": fp[1] if fp else None,
+            },
+        )
+    return PipelineResult(
+        triples=triples, canonical_map=cmap, edges=edges,
+        counters=_collect_counters(io, log),
+    )
 
 
 def _read_edges(io: TableIO) -> DataFrame:
