@@ -32,6 +32,8 @@ from kgpipe.operators.cc import canonical_map_for_nodes
 from kgpipe.operators.extract import with_extracted_text
 from kgpipe.operators.fused import fused_extract_parse_abbrev
 from kgpipe.operators.link import (
+    LSH_MAX_BUCKET,
+    bucket_stats,
     exact_normalized_edges,
     neardup_bucket_stats,
     sameas_edges_from_triples,
@@ -68,15 +70,21 @@ class PipelineConfig:
     # < 1.0 → minhash-LSH + Jaccard near-dup linking
     jaccard_threshold: float = 1.0
     cc_max_iter: int = 25
+    # LSH skew-guard bucket cap (both link modes); surfaced so tests
+    # and corpora with known bucket structure can tune the
+    # recall/blowup trade explicitly
+    lsh_max_bucket: int = LSH_MAX_BUCKET
     # True → the link stage processes only triples of urls it has
     # never linked (url-level index), linking new URIs against a
-    # persisted norm→hub index and merging components with
-    # incremental_canonical_map — the daily-delta mode; a re-crawled
-    # url (content changed) triggers a full relink fallback because
-    # merges cannot retract links. Requires the exact-normalized
-    # linker (jaccard_threshold == 1.0): LSH banding needs the full
-    # corpus per run. Result pinned equal to a full recompute
-    # (test_pipeline).
+    # persisted norm→hub index (exact-normalized linking) and — with
+    # jaccard_threshold < 1.0 — against a persisted (uri, band, bh)
+    # LSH signature index, merging components with
+    # incremental_canonical_map — the daily-delta mode. A re-crawled
+    # or removed url (possible retraction) triggers a full relink
+    # fallback because merges cannot retract links; so does an LSH
+    # bucket that already emitted pairs crossing the size cap (a full
+    # recompute would drop the whole bucket). Result pinned equal to
+    # a full recompute (test_pipeline).
     incremental_link: bool = False
 
 
@@ -355,11 +363,13 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
             near = exact_normalized_edges(uris, "uri")
             stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
         else:
-            near = verified_neardup_edges(uris, "uri", cfg.jaccard_threshold)
+            near = verified_neardup_edges(
+                uris, "uri", cfg.jaccard_threshold, max_bucket=cfg.lsh_max_bucket
+            )
             # observability: same banding the linker used → the LSH
             # drop budget (ids_in_dropped bounds the pairs the bucket
             # cap can cost). One extra pass over the cheap URI fold.
-            stats = neardup_bucket_stats(uris, "uri")
+            stats = neardup_bucket_stats(uris, "uri", max_bucket=cfg.lsh_max_bucket)
         io.write(stats, "link_bucket_stats", mode="overwrite")
         edges = explicit.union(near)
     else:
@@ -415,6 +425,114 @@ def _url_fingerprints(triples) -> DataFrame:
     )
 
 
+LSH_INDEX_DDL = "uri string, band int, bh long, batch_fp string"
+
+
+def _incremental_lsh_delta(spark, delta, cfg, io: TableIO):
+    """Delta-only LSH near-dup linking against the persisted signature
+    index (r4 verdict missing #2, closed): band ONLY the delta's
+    previously-unseen URIs, join their (band, bh) keys against the
+    `lsh_index` table, and emit verified pairs with at least one new
+    member — old×old pairs were emitted when their members arrived.
+    Signature work is delta-sized; the only touch of old data is a
+    broadcast semi-join of the index against the delta's bucket keys.
+
+    Cap semantics match the full linker's capped_buckets exactly:
+    a bucket whose COMBINED size exceeds cfg.lsh_max_bucket emits
+    nothing. The one case merge-only incrementality cannot honor is a
+    bucket that already emitted pairs (2 ≤ old_n ≤ cap) crossing the
+    cap — a full recompute would drop the whole bucket, i.e. retract
+    pairs already merged — so that returns None and the caller falls
+    back to a full rebuild. Buckets with old_n ∈ {0, 1} crossing the
+    cap emitted nothing before, so dropping them now is exactly what
+    the full path does.
+
+    Returns (verified_edges, banded_new) — banded_new is appended to
+    the index (per-batch partition) by the caller — or None for the
+    rebuild fallback. Pinned equal to the full LSH linker across
+    batches, including buckets that span batches (test_pipeline)."""
+    from kgpipe.operators.link import (
+        LSH_BANDS,
+        LSH_NUM_HASHES,
+        LSH_SEED,
+        LSH_SHINGLE_K,
+        _pairs_from_sorted_array,
+        _uri_banded,
+        char_shingles,
+        normalize_uri,
+    )
+
+    cap = cfg.lsh_max_bucket
+    base = (
+        delta.select(F.col("s").alias("uri"))
+        .union(delta.select(F.col("o").alias("uri")))
+        .distinct()
+        .select("uri", normalize_uri(F.col("uri")).alias("norm"))
+    )
+    if io.exists("lsh_index"):
+        index = io.read("lsh_index", LSH_INDEX_DDL).select("uri", "band", "bh")
+    else:
+        index = spark.createDataFrame([], "uri string, band int, bh long")
+    new_uris = base.join(index.select("uri").distinct(), "uri", "left_anti")
+    banded_new = _uri_banded(
+        new_uris, "uri", "norm", LSH_NUM_HASHES, LSH_BANDS, LSH_SHINGLE_K, LSH_SEED
+    ).localCheckpoint(eager=True)
+    keys = banded_new.select("band", "bh").distinct()
+    # delta-sized key set → broadcast semi-join: the index is filtered
+    # map-side, never shuffled
+    old_touched = index.join(F.broadcast(keys), ["band", "bh"], "left_semi").localCheckpoint(
+        eager=True
+    )
+    old_sz = old_touched.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("old_n"))
+    new_sz = banded_new.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("new_n"))
+    sz = (
+        new_sz.join(old_sz, ["band", "bh"], "left")
+        .withColumn("old_n", F.coalesce("old_n", F.lit(0)))
+        .localCheckpoint(eager=True)
+    )
+    crossing = (
+        sz.where(
+            (F.col("old_n") >= 2)
+            & (F.col("old_n") <= cap)
+            & (F.col("old_n") + F.col("new_n") > cap)
+        ).limit(1).count()
+        > 0
+    )
+    if crossing:
+        return None
+    ok_keys = sz.where(F.col("old_n") + F.col("new_n") <= cap).select("band", "bh")
+    combined = old_touched.withColumn("is_new", F.lit(False)).unionByName(
+        banded_new.select("uri", "band", "bh").withColumn("is_new", F.lit(True))
+    )
+    buckets = (
+        combined.join(F.broadcast(ok_keys), ["band", "bh"])
+        .groupBy("band", "bh")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("uri"))).alias("ids"),
+            F.collect_set(F.when(F.col("is_new"), F.col("uri"))).alias("new_ids"),
+        )
+        .where(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(_pairs_from_sorted_array(F.col("ids"))).alias("pr"), "new_ids"
+        )
+        .where(
+            F.array_contains("new_ids", F.col("pr.a"))
+            | F.array_contains("new_ids", F.col("pr.b"))
+        )
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .distinct()
+    )
+    sh_a = char_shingles(normalize_uri(F.col("a")), LSH_SHINGLE_K)
+    sh_b = char_shingles(normalize_uri(F.col("b")), LSH_SHINGLE_K)
+    jac = F.size(F.array_intersect(sh_a, sh_b)) / F.size(F.array_union(sh_a, sh_b))
+    verified = pairs.where(jac >= F.lit(cfg.jaccard_threshold)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return verified, banded_new
+
+
 def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog):
     """Delta-only link + canonicalize, keyed at the URL level: link
     ONLY triples whose url has never been linked. Delta detection by
@@ -458,12 +576,6 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
     fully: merged components relabel OLD edges' canon ids, so the
     edge table cannot be patched per-part without a canon-diff pass.
     """
-    if cfg.neardup_link and cfg.jaccard_threshold < 1.0:
-        raise ValueError(
-            "incremental_link requires exact-normalized linking "
-            "(jaccard_threshold == 1.0); LSH near-dup linking needs the "
-            "full corpus per run"
-        )
     from kgpipe.operators.cc import incremental_canonical_map
     from kgpipe.operators.link import normalize_uri
 
@@ -490,7 +602,15 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
         ).limit(1).count()
         > 0
     )
-    if changed:
+    # a corpus linked under a DIFFERENT config lacks the indexes this
+    # config's delta path needs (norm_hubs for exact-normalized
+    # linking, lsh_index for banded linking) — old URIs would silently
+    # never match. Rebuild once; subsequent deltas are incremental.
+    index_gap = io.exists("linked_urls") and cfg.neardup_link and (
+        not io.exists("norm_hubs")
+        or (cfg.jaccard_threshold < 1.0 and not io.exists("lsh_index"))
+    )
+    if changed or index_gap:
         _incremental_full_rebuild(spark, triples, cur, cfg, io, log, stage)
         return
     new_urls = (
@@ -538,11 +658,23 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
             .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
         )
         delta_edges = explicit.union(matched).union(star_new)
+        if cfg.jaccard_threshold < 1.0:
+            lsh_res = _incremental_lsh_delta(spark, delta, cfg, io)
+            if lsh_res is None:
+                # a bucket that already emitted pairs crossed the cap:
+                # a full recompute would retract them — rebuild
+                _incremental_full_rebuild(spark, triples, cur, cfg, io, log, stage)
+                return
+            lsh_edges, lsh_new_banded = lsh_res
+            delta_edges = delta_edges.union(lsh_edges)
+        else:
+            lsh_new_banded = None
     else:
         # full-path parity: with the near-dup linker off, the full
         # stage links ONLY explicit sameAs edges — the incremental
         # mode must not invent norm→hub edges the full mode never made
         new_hubs = None
+        lsh_new_banded = None
         delta_edges = explicit
     delta_edges = delta_edges.distinct().localCheckpoint(eager=True)
     n_edges = delta_edges.count()
@@ -560,10 +692,6 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
     # must never be overwritten in place (delete-then-write would
     # destroy the retry's input) — replace() swaps via renames
     io.replace(cmap, "canonical_map")
-    io.write(
-        spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
-        "link_bucket_stats", mode="overwrite",
-    )
 
     # deterministic batch id from the delta's url fingerprints —
     # a retried batch overwrites exactly its own index partitions
@@ -576,6 +704,20 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
             new_hubs.withColumn("batch_fp", F.lit(batch_fp)),
             "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
         )
+    if lsh_new_banded is not None:
+        io.write(
+            lsh_new_banded.withColumn("batch_fp", F.lit(batch_fp)),
+            "lsh_index", mode="overwrite", partition_by=["batch_fp"],
+        )
+        # recall budget over the WHOLE index (old + this delta): an
+        # index scan and one count aggregation — no signature recompute
+        stats = bucket_stats(
+            io.read("lsh_index", LSH_INDEX_DDL).select("uri", "band", "bh"),
+            cfg.lsh_max_bucket,
+        )
+    else:
+        stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
+    io.write(stats, "link_bucket_stats", mode="overwrite")
     # url index LAST: a crash anywhere above re-detects this delta
     io.write(
         new_urls.withColumn("batch_fp", F.lit(batch_fp)),
@@ -606,12 +748,14 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
     from kgpipe.operators.link import normalize_uri
 
     explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
+    lsh_mode = cfg.neardup_link and cfg.jaccard_threshold < 1.0
     if cfg.neardup_link:
         base = (
             triples.select(F.col("s").alias("uri"))
             .union(triples.select(F.col("o").alias("uri")))
             .distinct()
             .select("uri", normalize_uri(F.col("uri")).alias("norm"))
+            .localCheckpoint(eager=True)
         )
         hubs_all = base.groupBy("norm").agg(F.min("uri").alias("hub")).localCheckpoint(
             eager=True
@@ -621,7 +765,15 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
             .where(F.col("uri") != F.col("hub"))
             .select(F.col("uri").alias("src"), F.col("hub").alias("dst"))
         )
-        edges = explicit.union(star).distinct().localCheckpoint(eager=True)
+        edges = explicit.union(star)
+        if lsh_mode:
+            edges = edges.union(
+                verified_neardup_edges(
+                    base.select("uri"), "uri", cfg.jaccard_threshold,
+                    max_bucket=cfg.lsh_max_bucket,
+                )
+            )
+        edges = edges.distinct().localCheckpoint(eager=True)
     else:
         hubs_all = None
         edges = explicit.distinct().localCheckpoint(eager=True)
@@ -647,10 +799,29 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
             hubs_all.withColumn("batch_fp", F.lit(batch_fp)),
             "norm_hubs", mode="overwrite", partition_by=["batch_fp"],
         )
-    io.write(
-        spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
-        "link_bucket_stats", mode="overwrite",
-    )
+    io.drop("lsh_index")
+    if lsh_mode:
+        from kgpipe.operators.link import (
+            LSH_BANDS,
+            LSH_NUM_HASHES,
+            LSH_SEED,
+            LSH_SHINGLE_K,
+            _uri_banded,
+        )
+
+        banded_all = _uri_banded(
+            base, "uri", "norm", LSH_NUM_HASHES, LSH_BANDS, LSH_SHINGLE_K, LSH_SEED
+        )
+        io.write(
+            banded_all.withColumn("batch_fp", F.lit(batch_fp)),
+            "lsh_index", mode="overwrite", partition_by=["batch_fp"],
+        )
+        stats = neardup_bucket_stats(
+            base.select("uri"), "uri", max_bucket=cfg.lsh_max_bucket
+        )
+    else:
+        stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
+    io.write(stats, "link_bucket_stats", mode="overwrite")
     io.drop("linked_urls")
     io.write(
         cur_urls.withColumn("batch_fp", F.lit(batch_fp)),

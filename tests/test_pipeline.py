@@ -307,13 +307,69 @@ def test_incremental_link_rerun_is_noop(spark, tmp_path):
     assert before == after
 
 
-def test_incremental_link_refuses_lsh(spark, tmp_path):
-    cfg = PipelineConfig(
-        warehouse=str(tmp_path / "wh_bad"), rules_text=RULES_16_TEXT,
-        mode="compat", n_parts=4, incremental_link=True, jaccard_threshold=0.8,
+def test_incremental_lsh_matches_full(spark, tmp_path):
+    """Incremental LSH linking (persisted signature index): two-batch
+    run pinned equal to a full LSH run over everything — including
+    buckets that span batches (the fixture's URIs are structurally
+    near-identical, so delta URIs land in old buckets). The cap is
+    raised so no bucket drops and the DELTA path (not the rebuild
+    fallback) is what gets exercised."""
+    all_pages = gen_pages(120)
+    kw = dict(
+        rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
+        jaccard_threshold=0.85, lsh_max_bucket=4096,
     )
-    with pytest.raises(ValueError, match="incremental_link"):
-        run_pipeline(spark, spark.createDataFrame(gen_pages(10)), cfg)
+    cfg_inc = PipelineConfig(
+        warehouse=str(tmp_path / "wh_ilsh"), incremental_link=True, **kw
+    )
+    run_pipeline(spark, spark.createDataFrame(all_pages.iloc[:80]).repartition(5), cfg_inc)
+    res_inc = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg_inc)
+
+    # the delta path ran — no rebuild batch in the url index
+    batches = {
+        r.batch_fp
+        for r in spark.read.parquet(str(tmp_path / "wh_ilsh" / "linked_urls"))
+        .select("batch_fp").distinct().collect()
+    }
+    assert len(batches) == 2 and not any(b.startswith("rebuild") for b in batches)
+
+    cfg_full = PipelineConfig(warehouse=str(tmp_path / "wh_ilsh_full"), **kw)
+    res_full = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg_full)
+
+    cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
+    cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
+    assert cmap_inc == cmap_full
+    e_inc = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res_inc.edges.collect()
+    )
+    e_full = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res_full.edges.collect()
+    )
+    assert e_inc == e_full
+    # recall budget persisted from the index, not zeros
+    assert res_inc.counters["lsh_bucket_stats"]["n_buckets"] > 0
+
+
+def test_incremental_lsh_with_tight_cap_matches_full(spark, tmp_path):
+    """Same pin under the default-small cap: buckets genuinely drop
+    and some cross the cap between batches — the stage must fall back
+    to a rebuild where required and still equal the full run."""
+    all_pages = gen_pages(90)
+    kw = dict(
+        rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
+        jaccard_threshold=0.85, lsh_max_bucket=8,
+    )
+    cfg_inc = PipelineConfig(
+        warehouse=str(tmp_path / "wh_tlsh"), incremental_link=True, **kw
+    )
+    run_pipeline(spark, spark.createDataFrame(all_pages.iloc[:60]).repartition(4), cfg_inc)
+    res_inc = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(4), cfg_inc)
+
+    cfg_full = PipelineConfig(warehouse=str(tmp_path / "wh_tlsh_full"), **kw)
+    res_full = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(4), cfg_full)
+    cmap_inc = {(r.uri, r.canon_id) for r in res_inc.canonical_map.collect()}
+    cmap_full = {(r.uri, r.canon_id) for r in res_full.canonical_map.collect()}
+    assert cmap_inc == cmap_full
 
 
 def test_incremental_link_recrawl_triggers_rebuild(spark, tmp_path):
