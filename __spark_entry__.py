@@ -446,6 +446,34 @@ def q_ann_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf_refined_fullprobe(spark, sf_dir):
+    """Lloyd-refined IVF (refine_iters=2) probing ALL clusters ⇒ must
+    still equal brute force — the k-means training path is hash-gated
+    against the same DuckDB oracle as the unrefined variants."""
+    from kgpipe.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), _spread(spark, emb), k=3, stride=50,
+        nprobe=10**6, refine_iters=2,
+    ).select(
+        "query_id", "neighbor_id", "rank", F.round("score", 4).alias("score")
+    )
+
+
+def q_ann_ivf_refined(spark, sf_dir):
+    """Refined approximate path (nprobe=3, refine_iters=2) — rows-only
+    (approximation has no SQL ground truth; the refined full-probe
+    variant above is the oracle-gated one)."""
+    from kgpipe.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), _spread(spark, emb), k=3, stride=50,
+        nprobe=3, refine_iters=2,
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_emb_neardup_exact(spark, sf_dir):
     """Embedding-cosine near-dup, exact path: all pairs ≥ threshold
     (oracle = DuckDB cross-join cosine). Threshold sits inside the
@@ -790,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_refined_fullprobe": q_ann_ivf_refined_fullprobe,
+        "ann_ivf_refined": q_ann_ivf_refined,
         "emb_neardup_exact": q_emb_neardup_exact,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "extract_html": q_extract_html,
@@ -1129,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_bruteforce": _ANN_ORACLE,
         "ann_ivf_fullprobe": _ANN_ORACLE,
+        "ann_ivf_refined_fullprobe": _ANN_ORACLE,
         "emb_neardup_exact": """
             with v as (
               select vec_id, embedding::DOUBLE[] as e from embeddings

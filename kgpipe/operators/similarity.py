@@ -370,6 +370,69 @@ def _probe_clusters_join(q: DataFrame, cp: DataFrame, nprobe: int) -> DataFrame:
     )
 
 
+def _probe_clusters_fold(q: DataFrame, cp: DataFrame, nprobe: int) -> DataFrame:
+    """Single-pass per-query probe selection for the >10⁴-centroid
+    path: ONE scoring pass over the centroids per query row, with the
+    nprobe best (score, cid) structs maintained by a bounded insertion
+    fold — replacing _probe_clusters_join's nprobe rounds, each of
+    which re-scored every query×centroid dot product to keep one max
+    (r4 verdict "wrong" #3).
+
+    Shape: the prepped centroid table is collapsed to a single
+    array<struct(cid, cv, cnrm)> row and broadcast (same per-executor
+    footprint as broadcasting the table itself); each query row then
+    (1) `transform`s it into (score, -cid) structs — the expensive dot
+    products evaluate ONCE per centroid here, as the HOF's input
+    argument, never inside the fold lambda where they would re-
+    evaluate per element — and (2) `aggregate`s with a bounded
+    insertion: keep the array sorted ascending, replace the minimum
+    when a candidate beats it (O(nprobe log nprobe) per improving
+    element, a struct comparison otherwise). No groupBy, no exchange
+    of any expansion — the only movement is the centroid broadcast.
+
+    Tie-break identical to the iterated fold, the literal path and
+    the assignment: highest score, then lowest centroid id (struct
+    (s, -cid) lexicographic order). nprobe ≥ C short-circuits to the
+    plain broadcast join. → (query_id, qv, cluster_id); equality-
+    pinned against _probe_clusters_join and the literal path in
+    tests/test_similarity.py."""
+    cp = cp.localCheckpoint(eager=True)
+    n_cents = cp.count()
+    if nprobe >= n_cents:
+        return q.join(F.broadcast(cp)).select(
+            "query_id", "qv", F.col("cid").alias("cluster_id")
+        )
+    cents_row = cp.agg(
+        F.collect_list(F.struct("cid", "cv", "cnrm")).alias("__cents")
+    )
+    qx = q.join(F.broadcast(cents_row))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (_dot(F.col("qv").cast("array<double>"), c["cv"]) / c["cnrm"]).alias("s"),
+            (-c["cid"]).alias("n"),
+        ),
+    )
+    init = F.array().cast("array<struct<s:double,n:bigint>>")
+
+    def insert(acc, x):
+        return (
+            F.when(F.size(acc) < nprobe, F.array_sort(F.array_append(acc, x)))
+            .when(
+                x > F.element_at(acc, 1),
+                F.slice(F.array_sort(F.array_append(acc, x)), 2, nprobe),
+            )
+            .otherwise(acc)
+        )
+
+    best = F.aggregate(scored, init, insert)
+    return qx.select(
+        "query_id",
+        "qv",
+        F.explode(F.transform(F.reverse(best), lambda t: -t["n"])).alias("cluster_id"),
+    )
+
+
 def deterministic_centroids(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", stride: int = 50
 ) -> DataFrame:
@@ -486,7 +549,7 @@ def ivf_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if assign == "join":
         corpus_assigned = assign_clusters_join(corpus, cents, id_col, vec_col)
-        probes = _probe_clusters_join(q, _centroids_prepped(cents, vec_col), nprobe)
+        probes = _probe_clusters_fold(q, _centroids_prepped(cents, vec_col), nprobe)
     else:
         cent_arr = _centroid_literal_array(cents, vec_col)
         corpus_assigned = corpus.withColumn(

@@ -287,3 +287,86 @@ def test_join_assignment_partial_aggregates_before_exchange(spark, emb):
     assert "partial_max_by" in plan, plan[:4000]
     # the join side is a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_fold_probe_selection_matches_iterated_and_literal(spark, emb):
+    """The single-pass bounded-insertion fold must pick EXACTLY the
+    probes the iterated max_by fold picks (same tie-break), and the
+    full ivf_topk through the fold must equal the literal path."""
+    from kgpipe.operators.similarity import (
+        _centroids_prepped,
+        _probe_clusters_fold,
+        _probe_clusters_join,
+        deterministic_centroids,
+    )
+
+    q = emb.limit(12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = deterministic_centroids(emb, stride=50)
+    for nprobe in (1, 2, 3):
+        fold = {
+            (r.query_id, r.cluster_id)
+            for r in _probe_clusters_fold(
+                q, _centroids_prepped(cents, "embedding"), nprobe
+            ).collect()
+        }
+        iterated = {
+            (r.query_id, r.cluster_id)
+            for r in _probe_clusters_join(
+                q, _centroids_prepped(cents, "embedding"), nprobe
+            ).collect()
+        }
+        assert fold == iterated, f"nprobe={nprobe}"
+
+    lit = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk(emb.limit(12), emb, k=3, stride=50, nprobe=2).collect()
+    }
+    joined = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk(
+            emb.limit(12), emb, k=3, stride=50, nprobe=2, assign="join"
+        ).collect()
+    }
+    assert lit == joined
+
+
+def test_fold_probe_selection_single_scoring_pass_plan(spark, emb):
+    """Plan pin for the fold: no Window, no Exchange of any expansion
+    (the only data movement is the centroid broadcast), and no
+    iterated join rounds."""
+    from kgpipe.operators.similarity import (
+        _centroids_prepped,
+        _probe_clusters_fold,
+        deterministic_centroids,
+    )
+
+    q = emb.limit(12).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cp = _centroids_prepped(deterministic_centroids(emb, stride=50), "embedding")
+    probes = _probe_clusters_fold(q, cp, nprobe=2)
+    plan = probes._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # one broadcast join in the whole plan — no per-round join chain
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    rows = probes.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cluster_id)
+    assert all(len(v) == 2 and len(set(v)) == 2 for v in per_q.values())
+
+
+def test_fold_probe_selection_fewer_centroids_than_nprobe(spark):
+    from kgpipe.operators.similarity import _centroids_prepped, _probe_clusters_fold
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "query_id long, qv array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "centroid_id long, embedding array<float>"
+    )
+    probes = _probe_clusters_fold(q, _centroids_prepped(cents, "embedding"), nprobe=3)
+    assert {(r.query_id, r.cluster_id) for r in probes.collect()} == {(1, 0), (2, 0)}
