@@ -267,7 +267,6 @@ def main() -> None:
             "cpus": cpus,
             "n_reps": n_reps,
             "loads": loads,
-            "reps": reps,
             "pipeline_triples": best_pipe["n_triples"],
             "pipeline_edges": best_pipe["n_edges"],
             "triples_per_sec": round(best_pipe["n_triples"] / timings["kg_pipeline"], 1),
@@ -277,7 +276,24 @@ def main() -> None:
             # ntto -a apples-to-apples: abbreviate-only, 223-rule table
             "abbrev_lines_per_sec": round(n_big / timings["abbrev_bulk"], 1),
         }
-        print(json.dumps(out))
+        # full per-rep evidence goes to a FILE (committed with the
+        # round); the driver's stdout capture keeps only the final
+        # ~2000 bytes, which is why r4's reps-bearing single line came
+        # back `parsed: null` — the LAST printed line must be a
+        # compact, capture-window-sized best-of dict
+        full = dict(out, reps=reps)
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_full.json"), "w") as f:
+                json.dump(full, f)
+        except OSError:
+            pass
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1900:  # paranoia: never overflow the capture window
+            slim = dict(out)
+            slim.pop("loads", None)
+            line = json.dumps(slim, separators=(",", ":"))
+        print(line)
     finally:
         spark.stop()
 

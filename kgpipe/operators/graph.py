@@ -53,7 +53,7 @@ def khop_frontier(
     visited = frontier
     for i in range(1, k + 1):
         nxt = (
-            frontier.join(e, frontier["node"] == e["__s"])
+            _hop_join(frontier, e)
             .select(F.col("__d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
@@ -65,6 +65,15 @@ def khop_frontier(
         visited = visited.union(nxt)
         frontier = nxt
     return visited
+
+
+def _hop_join(frontier: DataFrame, e: DataFrame) -> DataFrame:
+    """The per-hop frontier ⋈ edges join, factored out so plan tests
+    can pin the docstring promise: over a src-bucketed edge table
+    (pipeline materialize → TableIO.read_bucketed) the EDGE side
+    joins with no Exchange — only the (small) frontier shuffles to the
+    bucket layout (tests/test_graph.py)."""
+    return frontier.join(e, frontier["node"] == e["__s"])
 
 
 def pagerank(
