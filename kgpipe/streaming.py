@@ -232,6 +232,8 @@ def dedup_stream(
     key_col: str,
     output_ddl: str,
     state_ttl_minutes: float | None = None,
+    arrival_ts_col: str | None = None,
+    timer_eviction: bool = False,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator: exact first-arrival
     deduplication across micro-batches via applyInPandasWithState,
@@ -256,18 +258,31 @@ def dedup_stream(
     state_ttl_minutes bounds the DEDUP HORIZON for unbounded key
     spaces: an arrival more than the TTL after its key's first-seen
     time is re-admitted as a fresh first arrival (emitted again, the
-    horizon restarts). Expiry is evaluated LAZILY on arrival —
-    processing-time TIMERS would be the eviction mechanism, but
-    ProcessingTimeTimeout cannot terminate under the AvailableNow
-    trigger this driver uses (the query busy-loops empty
-    timeout-sweep batches — measured 66 state versions in seconds),
-    so state rows for never-returning keys persist until a
-    continuous-trigger deployment adds timer eviction; the
-    SEMANTICS (first-arrival-wins within a TTL horizon) are
-    identical either way. None (default) = exact forever-dedup,
-    whose state is one row per distinct key by definition (and keeps
-    the pre-TTL 1-field state schema, so existing checkpoints
-    restart unchanged); 0 = every arrival re-admits."""
+    horizon restarts). Expiry is evaluated LAZILY on arrival; with
+    timer_eviction=True (requires a processingTime/continuous
+    trigger — ProcessingTimeTimeout cannot terminate under
+    AvailableNow, where it busy-loops empty timeout-sweep batches)
+    keys additionally get a processing-time TIMER of one TTL per
+    arrival, and a firing timer REMOVES the key's state row — so
+    never-returning keys leave the state store instead of persisting
+    forever. Suppression/re-admission decisions stay data-driven
+    (identical either way); the timer only bounds state size, and it
+    fires at last-arrival+TTL ≥ first-seen+TTL, so it never evicts a
+    key still inside its horizon. None (default) = exact
+    forever-dedup, whose state is one row per distinct key by
+    definition (and keeps the pre-TTL 1-field state schema, so
+    existing checkpoints restart unchanged); 0 = every arrival
+    re-admits.
+
+    arrival_ts_col names a numeric epoch-SECONDS column used as the
+    arrival clock for TTL decisions. Expiry then derives from BATCH-
+    STABLE data: a foreachBatch epoch replayed after checkpoint
+    recovery evaluates the horizon identically and re-emits the exact
+    row set into its replaced epoch_id partition, preserving the
+    exactly-once-per-output-row contract. Without it the arrival
+    clock is executor wall time, and a replay that crosses a TTL
+    boundary can legitimately differ — pass the column for replay-
+    stable TTL semantics."""
     import time as _time
 
     import pandas as pd
@@ -277,14 +292,26 @@ def dedup_stream(
     ttl_ms = (
         int(state_ttl_minutes * 60_000) if state_ttl_minutes is not None else None
     )
+    if timer_eviction and ttl_ms is None:
+        raise ValueError("timer_eviction requires state_ttl_minutes")
+    if arrival_ts_col is not None and arrival_ts_col not in cols:
+        raise ValueError(f"arrival_ts_col {arrival_ts_col!r} not in input columns")
 
     def fn(key, pdfs, state: GroupState):
+        if timer_eviction and state.hasTimedOut:
+            # one TTL passed since the key's LAST arrival → the
+            # horizon since first-seen has certainly passed: drop the
+            # state row (a future arrival is a fresh first arrival,
+            # exactly what the lazy path would have concluded)
+            state.remove()
+            return
         # stream the chunks: a degenerate hot key (boilerplate
         # fingerprint with millions of duplicates in one trigger) must
         # never be concatenated into a single pandas frame — count and
         # keep one candidate row per chunk instead
         n_new = 0
         best = None
+        max_ts_ms = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -297,6 +324,9 @@ def dedup_stream(
                 if best is None
                 else pd.concat([best, cand]).sort_values(cols).iloc[:1]
             )
+            if arrival_ts_col is not None:
+                m = int(float(pdf[arrival_ts_col].max()) * 1000)
+                max_ts_ms = m if max_ts_ms is None else max(max_ts_ms, m)
         if n_new == 0:
             return
         if ttl_ms is None:
@@ -307,22 +337,38 @@ def dedup_stream(
             state.update((n_new,))
             yield best[cols]
             return
-        now_ms = int(_time.time() * 1000)
+        now_ms = max_ts_ms if max_ts_ms is not None else int(_time.time() * 1000)
+
+        def _arm():
+            # re-armed AFTER each state.update (timers require defined
+            # state): fires one TTL after the LAST arrival, which is
+            # never before first_seen + TTL
+            if timer_eviction:
+                state.setTimeoutDuration(ttl_ms)
+
         if state.exists:
             n_seen, first_seen_ms = state.get
             if (now_ms - first_seen_ms) > ttl_ms:
                 # horizon passed: re-admit as a fresh first arrival
                 state.update((n_new, now_ms))
+                _arm()
                 yield best[cols]
                 return
             state.update((n_seen + n_new, first_seen_ms))
+            _arm()
             return  # key already emitted within the horizon
         state.update((n_new, now_ms))
+        _arm()
         yield best[cols]
 
     state_ddl = DEDUP_STATE_DDL if ttl_ms is None else DEDUP_TTL_STATE_DDL
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timer_eviction
+        else GroupStateTimeout.NoTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        fn, output_ddl, state_ddl, "append", GroupStateTimeout.NoTimeout
+        fn, output_ddl, state_ddl, "append", timeout
     )
 
 
@@ -333,6 +379,7 @@ def run_dedup_stream(
     checkpoint_dir: str,
     key_col: str = "fingerprint",
     state_ttl_minutes: float | None = None,
+    arrival_ts_col: str | None = None,
 ) -> DataFrame:
     """Drive first-arrival dedup over parquet document files
     (AvailableNow). Re-invoking after new files land processes only
@@ -350,7 +397,10 @@ def run_dedup_stream(
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-    out = dedup_stream(stream, key_col, ddl, state_ttl_minutes=state_ttl_minutes)
+    out = dedup_stream(
+        stream, key_col, ddl, state_ttl_minutes=state_ttl_minutes,
+        arrival_ts_col=arrival_ts_col,
+    )
     # legacy guard (mirror of incremental_triples' flat-layout guard):
     # an out_dir written by the old FILE-SINK path carries a
     # _spark_metadata log, and readers resolve THROUGH that log —
@@ -372,6 +422,61 @@ def run_dedup_stream(
         .start()
     )
     q.awaitTermination()
+    result = spark.read.parquet(out_dir)
+    return result.drop("epoch_id") if "epoch_id" in result.columns else result
+
+
+def run_dedup_stream_continuous(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "fingerprint",
+    state_ttl_minutes: float = 60.0,
+    arrival_ts_col: str | None = None,
+    run_for_s: float = 10.0,
+    trigger_interval: str = "500 milliseconds",
+) -> DataFrame:
+    """Continuous-trigger deployment of dedup_stream WITH timer-based
+    state eviction — the harness the lazy-TTL docstring promised: a
+    processingTime trigger keeps the query alive between data
+    arrivals, so each key's ProcessingTimeTimeout (armed for one TTL
+    at every arrival) actually fires and REMOVES the state row of a
+    key that never returns. Under AvailableNow this is impossible
+    (timeout sweeps busy-loop); in a long-running deployment this IS
+    the dedup stream — here the query runs for run_for_s then stops,
+    which is the test/maintenance-window shape. State-store size is
+    then bounded by the keys seen within one TTL, not by all keys
+    ever seen. Output semantics are identical to the lazy path (the
+    suppression/re-admission decision is the same data check; the
+    timer only drops state a horizon-expired key would have replaced
+    anyway). Same idempotent epoch sink as run_dedup_stream, so
+    re-invocation (restart) resumes from the checkpoint."""
+    import time as _time
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    out = dedup_stream(
+        stream, key_col, ddl, state_ttl_minutes=state_ttl_minutes,
+        arrival_ts_col=arrival_ts_col, timer_eviction=True,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda rows, epoch_id: write_epoch_idempotent(rows, out_dir, epoch_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+    try:
+        deadline = _time.time() + run_for_s
+        while _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
     result = spark.read.parquet(out_dir)
     return result.drop("epoch_id") if "epoch_id" in result.columns else result
 

@@ -377,3 +377,88 @@ def test_dedup_stream_state_ttl_readmits(spark, tmp_path):
     ).write.mode("append").parquet(docs2)
     y = run_dedup_stream(spark, docs2, out2, ckpt2, state_ttl_minutes=10.0)
     assert [(r.doc_id, r.fingerprint) for r in y.collect()] == [(1, "fpB")]
+
+
+def test_dedup_stream_ttl_uses_data_arrival_clock(spark, tmp_path):
+    """ADVICE: wall-clock TTL evaluation makes epoch replays
+    non-deterministic. With arrival_ts_col, horizon decisions derive
+    from BATCH-STABLE data: a post-horizon DATA timestamp re-admits
+    even though almost no wall time passed, and an in-horizon data
+    timestamp stays suppressed — replay of either epoch reproduces
+    the same row set."""
+    from kgpipe.streaming import run_dedup_stream
+
+    docs_dir = str(tmp_path / "ddocs")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dck")
+    ddl = "doc_id long, fingerprint string, fetch_ts double"
+
+    spark.createDataFrame(
+        [(1, "fpA", 1000.0), (2, "fpB", 1000.0)], ddl
+    ).write.mode("append").parquet(docs_dir)
+    first = run_dedup_stream(
+        spark, docs_dir, out_dir, ckpt,
+        state_ttl_minutes=10.0, arrival_ts_col="fetch_ts",
+    )
+    assert first.count() == 2
+
+    # no wall-clock wait: fpA arrives 601 data-seconds later (past the
+    # 10-minute horizon) → re-admitted; fpB 10 data-seconds later →
+    # suppressed
+    spark.createDataFrame(
+        [(3, "fpA", 1601.0), (4, "fpB", 1010.0)], ddl
+    ).write.mode("append").parquet(docs_dir)
+    second = run_dedup_stream(
+        spark, docs_dir, out_dir, ckpt,
+        state_ttl_minutes=10.0, arrival_ts_col="fetch_ts",
+    )
+    rows = sorted((r.doc_id, r.fingerprint) for r in second.collect())
+    assert rows == [(1, "fpA"), (2, "fpB"), (3, "fpA")]
+
+
+def test_dedup_stream_timer_eviction_removes_expired_state(spark, tmp_path):
+    """Timer-based TTL eviction under a processingTime trigger (the
+    continuous deployment the lazy-TTL docstring promised): keys that
+    never return leave the state store once their TTL timer fires —
+    state size is bounded by the horizon, not by all keys ever seen —
+    and a later arrival of an evicted key is re-admitted exactly like
+    the lazy path would."""
+    from kgpipe.streaming import run_dedup_stream_continuous
+
+    docs_dir = str(tmp_path / "edocs")
+    out_dir = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eck")
+    ddl = "doc_id long, fingerprint string, text string"
+    ttl = 2.0 / 60.0  # 2 seconds
+
+    spark.createDataFrame(
+        [(1, "fpA", "a"), (2, "fpB", "b")], ddl
+    ).write.mode("append").parquet(docs_dir)
+    first = run_dedup_stream_continuous(
+        spark, docs_dir, out_dir, ckpt,
+        state_ttl_minutes=ttl, run_for_s=8.0,
+    )
+    assert first.count() == 2
+
+    # the state store must drain: both keys' timers fire ~2s in; on a
+    # loaded host a window can close before the sweep batch commits,
+    # so poll with checkpoint-resumed windows rather than pin one
+    n_state = -1
+    for _ in range(4):
+        n_state = spark.read.format("statestore").load(ckpt).count()
+        if n_state == 0:
+            break
+        run_dedup_stream_continuous(
+            spark, docs_dir, out_dir, ckpt,
+            state_ttl_minutes=ttl, run_for_s=6.0,
+        )
+    assert n_state == 0, "expired keys must leave the state store"
+
+    # semantics unchanged: an evicted key re-admits as fresh
+    spark.createDataFrame([(3, "fpA", "a2")], ddl).write.mode("append").parquet(docs_dir)
+    second = run_dedup_stream_continuous(
+        spark, docs_dir, out_dir, ckpt,
+        state_ttl_minutes=ttl, run_for_s=6.0,
+    )
+    rows = sorted((r.doc_id, r.fingerprint) for r in second.collect())
+    assert rows == [(1, "fpA"), (2, "fpB"), (3, "fpA")]
