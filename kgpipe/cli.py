@@ -90,9 +90,13 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--buckets", type=int, default=64)
     run.add_argument("--no-neardup", action="store_true")
     run.add_argument("--incremental-link", action="store_true",
-                     help="daily-delta mode: link only unseen triple partitions "
-                          "and merge components incrementally (exact-normalized "
-                          "linking only)")
+                     help="daily-delta mode: link only unseen urls, merge "
+                          "components incrementally (exact-normalized or, with "
+                          "--jaccard < 1, index-backed LSH), and patch only the "
+                          "edge partitions the delta touches")
+    run.add_argument("--jaccard", type=float, default=1.0,
+                     help="near-dup link threshold; < 1.0 enables LSH linking "
+                          "(default 1.0 = exact-normalized only)")
     run.add_argument("--explain", action="store_true", help="print plans, do not execute")
 
     dr = sub.add_parser("dump-rules", help="print active rules, sorted")
@@ -243,6 +247,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_parts=args.parts,
                 n_buckets=args.buckets,
                 neardup_link=not args.no_neardup,
+                jaccard_threshold=args.jaccard,
                 incremental_link=args.incremental_link,
             )
             if args.explain:

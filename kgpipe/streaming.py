@@ -436,6 +436,7 @@ def run_dedup_stream_continuous(
     arrival_ts_col: str | None = None,
     run_for_s: float = 10.0,
     trigger_interval: str = "500 milliseconds",
+    stop_when=None,
 ) -> DataFrame:
     """Continuous-trigger deployment of dedup_stream WITH timer-based
     state eviction — the harness the lazy-TTL docstring promised: a
@@ -451,7 +452,15 @@ def run_dedup_stream_continuous(
     suppression/re-admission decision is the same data check; the
     timer only drops state a horizon-expired key would have replaced
     anyway). Same idempotent epoch sink as run_dedup_stream, so
-    re-invocation (restart) resumes from the checkpoint."""
+    re-invocation (restart) resumes from the checkpoint.
+
+    stop_when: optional nullary predicate polled every 200ms; the
+    query stops as soon as it returns True (or run_for_s elapses,
+    whichever first) — lets callers wait for an observable condition
+    (e.g. the state store draining) instead of guessing a wall-clock
+    window on a loaded host. Exceptions from the predicate are
+    treated as 'not yet' (the state reader can race an in-flight
+    commit)."""
     import time as _time
 
     schema = spark.read.parquet(docs_dir).schema
@@ -473,6 +482,12 @@ def run_dedup_stream_continuous(
     try:
         deadline = _time.time() + run_for_s
         while _time.time() < deadline:
+            if stop_when is not None:
+                try:
+                    if stop_when():
+                        break
+                except Exception:
+                    pass
             _time.sleep(0.2)
     finally:
         q.stop()

@@ -434,31 +434,33 @@ def test_dedup_stream_timer_eviction_removes_expired_state(spark, tmp_path):
     spark.createDataFrame(
         [(1, "fpA", "a"), (2, "fpB", "b")], ddl
     ).write.mode("append").parquet(docs_dir)
+    # ONE query stays alive; stop as soon as the state store drains
+    # (generous deadline — a wall-clock window is too fragile on this
+    # loaded shared host, which is exactly what stop_when is for)
+    def state_empty():
+        # output first: an empty checkpoint also reads as 0 state rows,
+        # which must not stop the query before the data batch commits
+        if spark.read.parquet(out_dir).count() < 2:
+            return False
+        return spark.read.format("statestore").load(ckpt).count() == 0
+
     first = run_dedup_stream_continuous(
         spark, docs_dir, out_dir, ckpt,
-        state_ttl_minutes=ttl, run_for_s=8.0,
+        state_ttl_minutes=ttl, run_for_s=90.0, stop_when=state_empty,
     )
     assert first.count() == 2
-
-    # the state store must drain: both keys' timers fire ~2s in; on a
-    # loaded host a window can close before the sweep batch commits,
-    # so poll with checkpoint-resumed windows rather than pin one
-    n_state = -1
-    for _ in range(4):
-        n_state = spark.read.format("statestore").load(ckpt).count()
-        if n_state == 0:
-            break
-        run_dedup_stream_continuous(
-            spark, docs_dir, out_dir, ckpt,
-            state_ttl_minutes=ttl, run_for_s=6.0,
-        )
-    assert n_state == 0, "expired keys must leave the state store"
+    assert state_empty(), "expired keys must leave the state store"
 
     # semantics unchanged: an evicted key re-admits as fresh
     spark.createDataFrame([(3, "fpA", "a2")], ddl).write.mode("append").parquet(docs_dir)
+
+    def readmitted():
+        out = spark.read.parquet(out_dir)
+        return out.where(out.doc_id == 3).count() == 1
+
     second = run_dedup_stream_continuous(
         spark, docs_dir, out_dir, ckpt,
-        state_ttl_minutes=ttl, run_for_s=6.0,
+        state_ttl_minutes=ttl, run_for_s=60.0, stop_when=readmitted,
     )
     rows = sorted((r.doc_id, r.fingerprint) for r in second.collect())
     assert rows == [(1, "fpA"), (2, "fpB"), (3, "fpA")]
