@@ -523,18 +523,21 @@ class TableIO:
         marker = self.read_json(self._patch_marker(name))
         if marker is None:
             return
-        part_col = marker["part_col"]
+        part_cols = marker.get("part_cols") or [marker["part_col"]]
         fs, root = self._fs(self.path(name))
         _, staging = self._fs(self.path(f"{name}__patchstage"))
         for ent in marker["parts"]:
             val, has_data = ent["val"], ent["has_data"]
+            vals = val if isinstance(val, list) else [val]
+            rel = "/".join(f"{c}={v}" for c, v in zip(part_cols, vals))
             jvm = self.spark._jvm
-            live_d = jvm.org.apache.hadoop.fs.Path(root, f"{part_col}={val}")
-            staged_d = jvm.org.apache.hadoop.fs.Path(staging, f"{part_col}={val}")
+            live_d = jvm.org.apache.hadoop.fs.Path(root, rel)
+            staged_d = jvm.org.apache.hadoop.fs.Path(staging, rel)
             if has_data:
                 if fs.exists(staged_d):
                     if fs.exists(live_d):
                         fs.delete(live_d, True)
+                    fs.mkdirs(live_d.getParent())  # nested layouts: rename needs the parent
                     if not fs.rename(staged_d, live_d):
                         raise IOError(f"patch: rename {staged_d} -> {live_d} failed")
             else:
@@ -544,15 +547,19 @@ class TableIO:
         fs, mk = self._fs(self.path(self._patch_marker(name)))
         fs.delete(mk, False)
 
-    def patch_partitions(self, df: DataFrame, name: str, part_col: str, part_vals: list) -> None:
+    def patch_partitions(
+        self, df: DataFrame, name: str, part_col, part_vals: list
+    ) -> None:
         """Crash-safe replacement of a SUBSET of a partitioned table's
         partitions — the primitive behind incremental edge
         materialization: at 100 TB a daily delta must rewrite the few
         partitions it touches, not the table.
 
-        `df` must contain the FULL new content of exactly the
-        partitions in `part_vals` (a partition whose new content is
-        empty is deleted). Protocol: (1) heal any earlier crashed
+        part_col may be one column name or a list (hive-nested layout,
+        e.g. ["b_fp", "part_id"]); part_vals then holds tuples in the
+        same order. `df` must contain the FULL new content of exactly
+        the partitions in `part_vals` (a partition whose new content
+        is empty is deleted). Protocol: (1) heal any earlier crashed
         patch; (2) write df into a staging dir, partitioned — the live
         table is read-consistent throughout, so df may derive from it;
         (3) write a commit marker listing every target partition and
@@ -575,19 +582,23 @@ class TableIO:
             raise ValueError(
                 f"patch_partitions: unsafe on {scheme}:// (rename is copy+delete)"
             )
+        part_cols = [part_col] if isinstance(part_col, str) else list(part_col)
         self.recover_patch(name)
         staging = f"{name}__patchstage"
         fs, staging_p = self._fs(self.path(staging))
         if fs.exists(staging_p):
             fs.delete(staging_p, True)  # stale pre-marker leftovers
-        df.write.mode("overwrite").partitionBy(part_col).parquet(self.path(staging))
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(self.path(staging))
         jvm = self.spark._jvm
         parts = []
         for val in part_vals:
-            staged_d = jvm.org.apache.hadoop.fs.Path(staging_p, f"{part_col}={val}")
-            parts.append({"val": val, "has_data": bool(fs.exists(staged_d))})
+            vals = list(val) if isinstance(val, (list, tuple)) else [val]
+            rel = "/".join(f"{c}={v}" for c, v in zip(part_cols, vals))
+            staged_d = jvm.org.apache.hadoop.fs.Path(staging_p, rel)
+            ent_val = vals if len(part_cols) > 1 else vals[0]
+            parts.append({"val": ent_val, "has_data": bool(fs.exists(staged_d))})
         self.write_json_atomic(
-            self._patch_marker(name), {"part_col": part_col, "parts": parts}
+            self._patch_marker(name), {"part_cols": part_cols, "parts": parts}
         )
         # the swap loop IS the recovery loop — one code path, replayed
         # verbatim after any crash past the marker write

@@ -267,6 +267,26 @@ def incremental_canonical_map(
     prev_cmap may be empty (first run degenerates to a plain CC over
     new_edges). Nodes supported: any uri appearing in either input.
     """
+    return incremental_merge(prev_cmap, new_edges, **kw)[0]
+
+
+def incremental_merge(
+    prev_cmap: DataFrame, new_edges: DataFrame, **kw
+) -> tuple[DataFrame, DataFrame]:
+    """incremental_canonical_map, plus the LABEL CHANGES the merge
+    caused: (merged_map, changes) where changes(old_c, new_c) maps
+    every label that was an EFFECTIVE canon id before the merge (a
+    fixed point of prev — an explicit uri==canon_id row, or a uri
+    absent from prev entirely) to its new, different label.
+
+    The changes frame is what downstream MATERIALIZED artifacts keyed
+    by canon labels (the edge table) need to relabel themselves — and
+    it is computed entirely within the delta's neighborhood (sub_map ⋈
+    the affected components' prev rows), so its cost scales with the
+    delta, not the corpus. Emitting it here, where the merge already
+    holds the neighborhood, is what lets the materialize stage avoid
+    keeping (and diffing, and rewriting) its own full copy of the map
+    per run — a map-scale cost that dominated delta runs."""
     prev = prev_cmap.select("uri", "canon_id")
     ne = new_edges.select("src", "dst")
     touched = (
@@ -275,7 +295,7 @@ def incremental_canonical_map(
         .distinct()
     )
     affected = prev.join(touched, "uri", "left_semi").select("canon_id").distinct()
-    aff_rows = prev.join(affected, "canon_id", "left_semi")
+    aff_rows = prev.join(affected, "canon_id", "left_semi").select("uri", "canon_id")
     star_edges = aff_rows.where(F.col("uri") != F.col("canon_id")).select(
         F.col("uri").alias("src"), F.col("canon_id").alias("dst")
     )
@@ -289,4 +309,17 @@ def incremental_canonical_map(
     # join-on-canon_id reorders columns (key first) — reselect before
     # the positional union or untouched rows come out (canon_id, uri)
     untouched = prev.join(affected, "canon_id", "left_anti").select("uri", "canon_id")
-    return untouched.union(sub_map.select("uri", "canon_id"))
+    merged = untouched.union(sub_map.select("uri", "canon_id"))
+
+    # prev lookups for the sub-universe need only the AFFECTED rows
+    # (any sub-universe node present in prev has its component
+    # affected by construction) — never a scan of the full prev map
+    old = aff_rows.select("uri", F.col("canon_id").alias("__old"))
+    changes = (
+        sub_map.select("uri", "canon_id")
+        .join(old, "uri", "left")
+        .where(F.coalesce(F.col("__old"), F.col("uri")) == F.col("uri"))
+        .where(F.col("canon_id") != F.col("uri"))
+        .select(F.col("uri").alias("old_c"), F.col("canon_id").alias("new_c"))
+    )
+    return merged, changes

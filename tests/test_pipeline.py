@@ -499,11 +499,17 @@ def test_incremental_materialize_patches_only_affected_partitions(spark, tmp_pat
     edir = os.path.join(wh, "edges")
     def snapshot():
         snap = {}
-        for d in os.listdir(edir):
-            if d.startswith("part_id="):
-                pdir = os.path.join(edir, d)
-                snap[d] = {f: os.path.getmtime(os.path.join(pdir, f))
-                           for f in os.listdir(pdir)}
+        for layer in os.listdir(edir):
+            ldir = os.path.join(edir, layer)
+            if not (layer.startswith("b_fp=") and os.path.isdir(ldir)):
+                continue
+            for d in os.listdir(ldir):
+                pdir = os.path.join(ldir, d)
+                if d.startswith("part_id=") and os.path.isdir(pdir):
+                    snap[f"{layer}/{d}"] = {
+                        f: os.path.getmtime(os.path.join(pdir, f))
+                        for f in os.listdir(pdir)
+                    }
         return snap
 
     before = snapshot()
@@ -512,8 +518,10 @@ def test_incremental_materialize_patches_only_affected_partitions(spark, tmp_pat
 
     untouched = [d for d in before if d in after and after[d] == before[d]]
     assert untouched, "delta rewrote every partition — patching is not happening"
-    # and the delta genuinely landed: at least one partition changed
-    assert any(after.get(d) != before[d] for d in before) or len(after) > len(before)
+    # the delta landed as its OWN layer: new b_fp dirs exist
+    assert len({k.split("/")[0] for k in after}) > len(
+        {k.split("/")[0] for k in before}
+    ), "delta did not append a new batch layer"
 
 
 def test_incremental_materialize_retry_after_marker_crash(spark, tmp_path):
@@ -531,21 +539,26 @@ def test_incremental_materialize_retry_after_marker_crash(spark, tmp_path):
         warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
         incremental_link=True,
     )
-    run_pipeline(spark, spark.createDataFrame(all_pages.iloc[:70]).repartition(4), cfg)
-    # save pre-delta marker state (json via the Hadoop FS API so its
-    # checksum sidecar stays consistent; the cmap dir copied whole)
-    from kgpipe.io import TableIO
-
-    io = TableIO(spark, wh)
-    state_saved = io.read_json("edges_mat_state.json")
-    shutil.copytree(os.path.join(wh, "edges_cmap"), os.path.join(wh, "edges_cmap__save"))
+    # small delta: the append path (not the merge-storm rebuild
+    # fallback) is the crash window under test
+    run_pipeline(spark, spark.createDataFrame(all_pages.iloc[:95]).repartition(4), cfg)
+    layers_before = set(os.listdir(os.path.join(wh, "edges")))
 
     run_pipeline(spark, spark.createDataFrame(all_pages).repartition(4), cfg)
-    # rewind ONLY the markers — as if the process died between the
-    # partition swap and the marker updates
-    shutil.rmtree(os.path.join(wh, "edges_cmap"))
-    shutil.copytree(os.path.join(wh, "edges_cmap__save"), os.path.join(wh, "edges_cmap"))
-    io.write_json_atomic("edges_mat_state.json", state_saved)
+    # rewind ONLY the completion markers — as if the process died
+    # after the delta layer's data write (and any merge repair) but
+    # before the layer was marked applied: the batch becomes pending
+    # again and the rerun must converge, not duplicate
+    new_layers = {
+        d for d in os.listdir(os.path.join(wh, "edges"))
+        if d.startswith("b_fp=") and d not in layers_before
+    }
+    assert new_layers, "delta did not append a layer"
+    for d in new_layers:
+        for f in ("_kgpipe_layer.json", "._kgpipe_layer.json.crc"):
+            fp = os.path.join(wh, "edges", d, f)
+            if os.path.exists(fp):
+                os.remove(fp)
 
     res_retry = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(4), cfg)
 

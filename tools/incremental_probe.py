@@ -69,12 +69,66 @@ def restore(originals):
         setattr(pl, attr, f)
 
 
+def gen_open_world_pages(spark, n: int):
+    """Open-entity-universe corpus: every page mints its OWN entities
+    (plus scheme/www variants that exact-normalization merges within
+    the page), so a delta of new pages introduces only new canon
+    labels — the regime a daily web-crawl delta actually lives in.
+    The stock fixture (gen_pages) draws subjects from a CLOSED 30k
+    pool, so at probe scale every delta merges into existing
+    components — the worst case for incremental materialize, measured
+    separately."""
+    import datetime as dt
+
+    def _batch(batches):
+        import html as _html
+
+        import pandas as pd
+
+        epoch = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        for pdf in batches:
+            idx = pdf["id"].astype(int)
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for i in idx:
+                i = int(i)
+                e = f"http://site{i % 97}.example.org/entity/{i}"
+                var = f"https://www.site{i % 97}.example.org/entity/{i}"
+                t = f"http://site{i % 97}.example.org/topic/{i}"
+                lines = [
+                    f"<{e}> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Class/{i % 50}> .",
+                    f"<{e}> <http://www.w3.org/2002/07/owl#sameAs> <{var}> .",
+                    f'<{e}> <http://xmlns.com/foaf/0.1/name> "entity {i}" .',
+                    f"<{e}> <http://schema.org/about> <{t}> .",
+                    f'<{t}> <http://purl.org/dc/terms/subject> "topic {i}" .',
+                ]
+                html = (
+                    f"<html><head><title>Page {i}</title></head><body>"
+                    f'<pre class="nt">{_html.escape(chr(10).join(lines))}</pre>'
+                    "</body></html>"
+                ).encode()
+                urls.append(f"https://site{i % 97}.example.org/page/{i}")
+                tss.append(epoch + dt.timedelta(seconds=i))
+                htmls.append(html)
+                texts.append("")
+                langs.append("en")
+            yield pd.DataFrame(
+                {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+            )
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(0, n, 1, max(par * 2, 8)).mapInPandas(_batch, schema=schema)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=200_000)
     ap.add_argument("--delta-pct", type=float, default=1.0)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--open-world", action="store_true",
+                    help="unique-entity corpus (append regime) instead of the "
+                         "closed-pool fixture (merge regime)")
     ap.add_argument("--append", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -95,8 +149,9 @@ def main():
     print(f"staging corpus: {args.pages} base + {n_delta} delta pages", flush=True)
     # rows are pure functions of the index, so the base staging is a
     # strict prefix of the full one — the delta is exactly the new urls
-    gen_pages_spark(spark, args.pages).write.parquet(base_dir)
-    gen_pages_spark(spark, args.pages + n_delta).write.parquet(all_dir)
+    gen = gen_open_world_pages if args.open_world else gen_pages_spark
+    gen(spark, args.pages).write.parquet(base_dir)
+    gen(spark, args.pages + n_delta).write.parquet(all_dir)
 
     results = {}
     for mode in ("incremental", "full"):
@@ -155,7 +210,8 @@ def main():
     if args.append:
         lines = [
             "",
-            f"### Incremental materialize probe — {args.pages:,} pages, "
+            f"### Incremental materialize probe — {args.pages:,} pages "
+            f"({'open-world/append regime' if args.open_world else 'closed-pool fixture/merge regime'}), "
             f"{args.delta_pct}% delta, local[{args.cpus}] (best-of-{args.repeats}, load-gated)",
             "",
             "| stage (2nd run, delta applied) | full mode | incremental | speedup |",
