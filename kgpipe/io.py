@@ -433,21 +433,39 @@ class TableIO:
             if not fs.rename(aside, live):
                 raise IOError(f"replace: recovery rename {aside} -> {live} failed")
 
-    def replace(self, df: DataFrame, name: str) -> None:
+    def replace(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        side_files: dict[str, object] | None = None,
+    ) -> None:
         """Crash-safe FULL replace for tables whose next version is
         DERIVED FROM the current one (e.g. the incrementally merged
-        canonical_map): a plain overwrite deletes the live data
-        before writing, so a crash mid-write destroys the very input
-        its retry needs. Here the new version lands in <name>__next
+        canonical_map, or a layer-fold of the batch-layered edge
+        table): a plain overwrite deletes the live data before
+        writing, so a crash mid-write destroys the very input its
+        retry needs. Here the new version lands in <name>__next
         while the live table stays intact, then swaps in via renames
         (live→aside, next→live, delete aside) — at no instant is the
         only copy deleted, and recover_replace() heals the one
         crash window between the renames. Refused on object stores
         (rename is copy+delete there — use an Iceberg catalog, whose
         createOrReplace is snapshot-safe and taken automatically in
-        catalog mode)."""
+        catalog mode).
+
+        side_files maps table-relative paths to small JSON objects
+        written into the staged dir AFTER the data write and BEFORE
+        the swap — so ledger/marker files land atomically WITH the
+        data they describe (a layer-fold's coverage marker must never
+        be observable without its folded rows, or vice versa)."""
         if self.catalog is not None:
-            self.write(df, name, mode="overwrite")
+            if side_files:
+                raise ValueError(
+                    "replace: side_files have no catalog-mode equivalent — "
+                    "table-adjacent markers are a parquet-layout concept"
+                )
+            self.write(df, name, mode="overwrite", partition_by=partition_by)
             return
         scheme = self._scheme()
         if scheme in self._NON_ATOMIC_RENAME_SCHEMES:
@@ -458,7 +476,15 @@ class TableIO:
             )
         self.recover_replace(name)
         nxt = f"{name}__next"
-        self.write(df, nxt, mode="overwrite")
+        self.write(df, nxt, mode="overwrite", partition_by=partition_by)
+        if side_files:
+            import json
+
+            for rel, obj in side_files.items():
+                fs2, p2 = self._fs(f"{self.path(nxt)}/{rel}")
+                out = fs2.create(p2, True)
+                out.writeBytes(json.dumps(obj, ensure_ascii=True))
+                out.close()
         fs, live = self._fs(self.path(name))
         _, nxt_p = self._fs(self.path(nxt))
         _, aside = self._fs(self.path(f"{name}__replaced"))
@@ -610,3 +636,9 @@ class TableIO:
             return
         fs, p = self._fs(self.path(name))
         fs.delete(p, True)
+        # the session-catalog bucketed ident (write_bucketed) must not
+        # outlive the files: a later non-bucketed rewrite of the same
+        # name would otherwise be read through stale bucketed metadata
+        # by read_bucketed-preferring callers — failing or returning
+        # wrong rows at action time
+        self.spark.sql(f"drop table if exists {self._bucket_ident(name)}")

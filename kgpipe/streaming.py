@@ -282,7 +282,17 @@ def dedup_stream(
     exactly-once-per-output-row contract. Without it the arrival
     clock is executor wall time, and a replay that crosses a TTL
     boundary can legitimately differ — pass the column for replay-
-    stable TTL semantics."""
+    stable TTL semantics.
+
+    arrival_ts_col and timer_eviction are mutually EXCLUSIVE: TTL
+    suppression would then run on data time while the eviction timer
+    fires on processing wall time, so a backlog replayed slower than
+    one TTL would evict state for keys still inside their data-time
+    horizon and re-emit a later in-horizon arrival as a duplicate —
+    breaking both the 'never evicts a key still inside its horizon'
+    guarantee and the replay stability arrival_ts_col exists for.
+    Timers are therefore only armed when the arrival clock IS wall
+    time (the default); passing both raises."""
     import time as _time
 
     import pandas as pd
@@ -294,6 +304,13 @@ def dedup_stream(
     )
     if timer_eviction and ttl_ms is None:
         raise ValueError("timer_eviction requires state_ttl_minutes")
+    if timer_eviction and arrival_ts_col is not None:
+        raise ValueError(
+            "timer_eviction is incompatible with arrival_ts_col: the eviction "
+            "timer fires on processing wall time while TTL suppression would "
+            "run on data time, so a replay slower than one TTL could evict "
+            "keys still inside their data-time horizon and re-emit duplicates"
+        )
     if arrival_ts_col is not None and arrival_ts_col not in cols:
         raise ValueError(f"arrival_ts_col {arrival_ts_col!r} not in input columns")
 
@@ -433,7 +450,6 @@ def run_dedup_stream_continuous(
     checkpoint_dir: str,
     key_col: str = "fingerprint",
     state_ttl_minutes: float = 60.0,
-    arrival_ts_col: str | None = None,
     run_for_s: float = 10.0,
     trigger_interval: str = "500 milliseconds",
     stop_when=None,
@@ -466,9 +482,12 @@ def run_dedup_stream_continuous(
     schema = spark.read.parquet(docs_dir).schema
     stream = spark.readStream.schema(schema).parquet(docs_dir)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    # no arrival_ts_col here: timer eviction requires the wall-time
+    # arrival clock (dedup_stream rejects the data-clock combination —
+    # a slow replay could otherwise evict in-horizon keys)
     out = dedup_stream(
         stream, key_col, ddl, state_ttl_minutes=state_ttl_minutes,
-        arrival_ts_col=arrival_ts_col, timer_eviction=True,
+        timer_eviction=True,
     )
     q = (
         out.writeStream.outputMode("append")

@@ -343,3 +343,22 @@ def test_patch_partitions_crash_recovery(spark, tmp_path):
     got = sorted((r.pt, r.v) for r in io.read("t", "pt int, v string").collect())
     assert got == [(0, "new0"), (1, "old1")]
     assert not (tmp_path / "t__patch.json").exists()
+
+
+def test_drop_clears_bucketed_catalog_entry(spark, tmp_path):
+    """ADVICE r5: TableIO.drop deleted only the directory, leaving the
+    session-catalog bucketed ident alive — a later non-bucketed
+    rewrite under the same name was then read through stale bucketed
+    metadata by read_bucketed-preferring callers. drop must take the
+    catalog entry with the files."""
+    io = TableIO(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)], "k long, v long")
+    io.write_bucketed(df, "t", bucket_by=["k"], n_buckets=4)
+    ident = io._bucket_ident("t").strip("`")
+    assert spark.catalog.tableExists(ident)
+    io.drop("t")
+    assert not spark.catalog.tableExists(ident)
+    # a rewrite under the same name with a partitioned (non-bucketed)
+    # layout must read cleanly through the plain-parquet path
+    io.write(df.withColumn("b", F.lit("x")), "t", partition_by=["b"])
+    assert io.read("t").count() == 20

@@ -659,3 +659,138 @@ def test_manifest_skip_defeated_by_config_or_file_change(spark, tmp_path):
         spark.read.parquet(src).where(F.col("lang") == "en")
     )
     assert m_all is not None and m_filtered is not None and m_all != m_filtered
+
+
+def test_config_key_covers_lsh_cap(tmp_path):
+    """ADVICE r5: lsh_max_bucket changes which LSH buckets emit pairs,
+    so it must defeat the run-manifest short-circuit."""
+    import dataclasses
+
+    import kgpipe.pipeline as pl
+
+    cfg = PipelineConfig(warehouse=str(tmp_path), rules_text=RULES_16_TEXT)
+    assert pl._config_key(cfg) != pl._config_key(
+        dataclasses.replace(cfg, lsh_max_bucket=7)
+    )
+
+
+def test_incremental_link_config_change_triggers_rebuild(spark, tmp_path):
+    """ADVICE r5: rerunning an incremental warehouse under a DIFFERENT
+    link config must not keep merges made under the old one (merges
+    cannot retract) — the persisted link-config digest routes the run
+    to a full rebuild, and the result equals a from-scratch run under
+    the new config."""
+    import dataclasses
+
+    from kgpipe.io import TableIO
+    from kgpipe.pipeline import LINKED_URLS_DDL
+
+    all_pages = gen_pages(100)
+    wh = str(tmp_path / "wh_cfgchg")
+    cfg_lsh = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
+        incremental_link=True, jaccard_threshold=0.85, lsh_max_bucket=4096,
+    )
+    run_pipeline(
+        spark, spark.createDataFrame(all_pages.iloc[:60]).repartition(5), cfg_lsh
+    )
+    # same warehouse, exact-normalized linking now (jt=1.0): the
+    # persisted indexes were built under jt=0.85 → must rebuild
+    cfg_exact = dataclasses.replace(cfg_lsh, jaccard_threshold=1.0)
+    res = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg_exact)
+
+    io = TableIO(spark, wh)
+    batches = {
+        r.batch_fp
+        for r in io.read("linked_urls", LINKED_URLS_DDL)
+        .select("batch_fp").distinct().collect()
+    }
+    assert any(b.startswith("rebuild") for b in batches), (
+        "link-config change must route to the full-rebuild path"
+    )
+
+    cfg_scratch = PipelineConfig(
+        warehouse=str(tmp_path / "wh_cfgchg_full"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=8, jaccard_threshold=1.0, lsh_max_bucket=4096,
+    )
+    res_full = run_pipeline(
+        spark, spark.createDataFrame(all_pages).repartition(5), cfg_scratch
+    )
+    assert {(r.uri, r.canon_id) for r in res.canonical_map.collect()} == {
+        (r.uri, r.canon_id) for r in res_full.canonical_map.collect()
+    }
+
+
+def test_full_to_incremental_switch_reads_layered_edges(spark, tmp_path):
+    """ADVICE r5: switching one warehouse from full mode (bucketed
+    edges) to incremental mode (b_fp-layered edges) must not read the
+    new layout through the stale session-catalog bucketed ident —
+    TableIO.drop now clears it, so _read_edges falls back to the plain
+    parquet read and returns the layered rows."""
+    import dataclasses
+
+    pages = spark.createDataFrame(gen_pages(60)).repartition(4)
+    wh = str(tmp_path / "wh_switch")
+    cfg_full = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=4
+    )
+    res_full = run_pipeline(spark, pages, cfg_full)
+    full_edges = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res_full.edges.collect()
+    )
+    assert sum(full_edges.values()) > 0
+
+    cfg_inc = dataclasses.replace(cfg_full, incremental_link=True)
+    res_inc = run_pipeline(spark, pages, cfg_inc)
+    inc_edges = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res_inc.edges.collect()
+    )
+    assert inc_edges == full_edges
+
+
+def test_incremental_materialize_folds_layers(spark, tmp_path):
+    """r5 verdict wrong #2: delta layers accumulated without bound.
+    With edges_fold_layers set low, accumulated b_fp layers fold back
+    into ONE b_fp=full layer (crash-safe replace, coverage marker
+    staged WITH the data); queries are identical across the fold, the
+    applied-batch ledger survives (a rerun stays a no-op), and the
+    layer count stays bounded by the threshold."""
+    import kgpipe.pipeline as pl
+    from kgpipe.io import TableIO
+
+    all_pages = gen_pages(140)
+    wh = str(tmp_path / "wh_fold")
+    cfg = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
+        incremental_link=True, edges_fold_layers=3,
+    )
+    res = None
+    for n in (40, 60, 80, 100, 120, 140):
+        res = run_pipeline(
+            spark, spark.createDataFrame(all_pages.iloc[:n]).repartition(5), cfg
+        )
+    io = TableIO(spark, wh)
+    layers = pl._edges_layer_names(io)
+    assert len(layers) <= cfg.edges_fold_layers + 1, f"unbounded layers: {layers}"
+    assert "full" in layers, "a fold must have happened at this cadence"
+
+    cfg_ref = PipelineConfig(
+        warehouse=str(tmp_path / "wh_fold_ref"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=8,
+    )
+    ref = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg_ref)
+    exp = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in ref.edges.collect()
+    )
+    got = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res.edges.collect()
+    )
+    assert got == exp
+
+    # the fold's coverage marker preserved the applied-batch ledger:
+    # a rerun with no new pages is a no-op and reads the same rows
+    res2 = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(5), cfg)
+    got2 = collections.Counter(
+        (r.canon_s, r.p, r.canon_o) for r in res2.edges.collect()
+    )
+    assert got2 == exp

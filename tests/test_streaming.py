@@ -464,3 +464,22 @@ def test_dedup_stream_timer_eviction_removes_expired_state(spark, tmp_path):
     )
     rows = sorted((r.doc_id, r.fingerprint) for r in second.collect())
     assert rows == [(1, "fpA"), (2, "fpB"), (3, "fpA")]
+
+
+def test_dedup_stream_rejects_data_clock_with_timer_eviction(spark):
+    """ADVICE r5: TTL suppression on data time + eviction timers on
+    processing wall time can evict keys still inside their data-time
+    horizon (slow replay) and re-emit duplicates — the combination is
+    rejected outright."""
+    import pytest as _pytest
+
+    from kgpipe.streaming import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "doc_id long, fingerprint string, fetch_ts double"
+    )
+    with _pytest.raises(ValueError, match="incompatible"):
+        dedup_stream(
+            df, "fingerprint", "doc_id long, fingerprint string, fetch_ts double",
+            state_ttl_minutes=1.0, arrival_ts_col="fetch_ts", timer_eviction=True,
+        )

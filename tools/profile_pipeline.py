@@ -1,14 +1,22 @@
 """Stage-level wall-time profile of the KG pipeline at bench size.
 
 Usage: python tools/profile_pipeline.py [n_pages]
-Separates the three checkpointed stages so a regression can be
-attributed (extract/parse/abbrev vs link/CC vs materialize).
+Separates every component of run_pipeline so a bench regression can
+be attributed: the r5 additions to the NON-incremental path (source
+manifest, run-marker read/write) are timed individually alongside
+the three checkpointed stages, the shared triples fingerprint, the
+result-materializing counts the bench pays (triples.count(),
+edges.count()) and the counter collection.
 """
 import os, sys, time, tempfile, shutil
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from kgpipe.session import get_spark
 from kgpipe.fixtures import RULES_16_TEXT, gen_pages_spark
-from kgpipe.pipeline import PipelineConfig, run_pipeline, _stage_extract_parse_abbrev, _stage_link_canonicalize, _stage_materialize, RAW_DDL, CMAP_DDL
+from kgpipe.pipeline import (
+    PipelineConfig, run_pipeline, _stage_extract_parse_abbrev,
+    _stage_link_canonicalize, _stage_materialize, _source_manifest,
+    _triples_fingerprint, _collect_counters, _read_edges, RAW_DDL, CMAP_DDL,
+)
 from kgpipe.io import TableIO
 from kgpipe.checkpoints import CheckpointLog
 from kgpipe.nt.rules import parse_rules
@@ -24,16 +32,37 @@ pages = spark.read.parquet(gen)
 io = TableIO(spark, wh); log = CheckpointLog(io); rules = parse_rules(RULES_16_TEXT)
 cfg = PipelineConfig(warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=64, n_buckets=32)
 
-t0=time.monotonic()
+marks = [("start", time.monotonic())]
+def mark(name):
+    marks.append((name, time.monotonic()))
+    print(f"{name}: {marks[-1][1]-marks[-2][1]:.2f}s", flush=True)
+
+_source_manifest(pages); io.read_json("run_manifest.json")
+mark("source_manifest+marker_read")
 _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
-t1=time.monotonic(); print(f"stage1 extract_parse_abbrev: {t1-t0:.2f}s")
+mark("stage1 extract_parse_abbrev")
 triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
-_stage_link_canonicalize(spark, triples, cfg, io, log)
-t2=time.monotonic(); print(f"stage2 link_canonicalize: {t2-t1:.2f}s")
+fp = _triples_fingerprint(triples)
+mark("triples_fingerprint")
+_stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
+mark("stage2 link_canonicalize")
 cmap = io.read("canonical_map", CMAP_DDL)
-_stage_materialize(spark, triples, cmap, cfg, io, log)
-t3=time.monotonic(); print(f"stage3 materialize: {t3-t2:.2f}s")
-n = io.read("edges").count()
-t4=time.monotonic(); print(f"final count: {t4-t3:.2f}s edges={n} TOTAL={t4-t0:.2f}")
-shutil.rmtree(gen, ignore_errors=True); shutil.rmtree(wh, ignore_errors=True)
+_stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
+mark("stage3 materialize")
+edges = _read_edges(io)
+_collect_counters(io, log)
+mark("collect_counters")
+nt = triples.count(); ne = edges.count()
+mark("bench counts (triples+edges)")
+print(f"TOTAL={marks[-1][1]-marks[0][1]:.2f}s triples={nt} edges={ne}", flush=True)
+
+# end-to-end comparison: the real entry point on a FRESH warehouse
+wh2 = tempfile.mkdtemp(prefix="pp_wh2_")
+cfg2 = PipelineConfig(warehouse=wh2, rules_text=RULES_16_TEXT, mode="compat", n_parts=64, n_buckets=32)
+t0 = time.monotonic()
+res = run_pipeline(spark, pages, cfg2)
+res.triples.count(); res.edges.count()
+print(f"run_pipeline end-to-end (fresh wh): {time.monotonic()-t0:.2f}s", flush=True)
+for d in (gen, wh, wh2):
+    shutil.rmtree(d, ignore_errors=True)
 spark.stop()
