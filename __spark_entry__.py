@@ -403,13 +403,36 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """Planted-duplicate corpus (the emb_neardup_lsh move, r5 verdict
+    missing #3): per doc_id, a synthetic text whose word grams are
+    UNIQUE to that doc, plus an exact duplicate at doc_id + 100000.
+    Identical texts give identical simhashes (hamming 0 — banding
+    recall 1.0 by pigeonhole), and cross-doc gram sets are disjoint so
+    cross simhashes are independent 64-bit values (P(hamming ≤ 3) ≈
+    2.4e-15 per pair — verified zero at sf0.01 AND sf0.1). Expected
+    pair set is therefore closed-form: exactly (i, i+100000, 0) per
+    doc — a real value oracle for the banding + capped-bucket + pair
+    machinery. simhash over REAL text (nonzero hammings included) is
+    pinned in pytest by a brute-force hamming twin (test_dedup)."""
     from kgpipe.operators.dedup import simhash_near_pairs
 
+    ids = _docs(spark, sf_dir).select("doc_id")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.concat(
+                F.lit("t"), F.col("doc_id").cast("string"), F.lit("x"), j.cast("string")
+            ),
+        ),
+    )
+    docs = ids.select("doc_id", text.alias("text"))
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     # max_hamming=3 is the guaranteed-recall radius of the 4-band
     # blocking (pigeonhole); simhash_near_pairs raises on anything
     # wider to avoid silently incomplete pair sets
     return simhash_near_pairs(
-        _spread(spark, _docs(spark, sf_dir)), "doc_id", "text", max_hamming=3, shingle_k=2
+        _spread(spark, docs.union(dup)), "doc_id", "text", max_hamming=3, shingle_k=2
     )
 
 
@@ -436,8 +459,10 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Approximate path (nprobe=3) — rows-only (approximation has no
-    SQL ground truth; full-probe variant above is the oracle-gated one)."""
+    """Approximate path (nprobe=3), oracle-gated since r6: the IVF
+    algorithm is deterministic given the corpus, so its SQL twin
+    emulates the ACTUAL probe-limited search (_IVF_NPROBE_ORACLE) —
+    not just the ideal answer the fullprobe variant checks."""
     from kgpipe.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -462,9 +487,11 @@ def q_ann_ivf_refined_fullprobe(spark, sf_dir):
 
 
 def q_ann_ivf_refined(spark, sf_dir):
-    """Refined approximate path (nprobe=3, refine_iters=2) — rows-only
-    (approximation has no SQL ground truth; the refined full-probe
-    variant above is the oracle-gated one)."""
+    """Refined approximate path (nprobe=3, refine_iters=2),
+    oracle-gated since r6: the SQL twin unrolls the two Lloyd
+    iterations (assignment → 9-decimal-rounded means → empty-cluster
+    carry) and then emulates the probe-limited search
+    (_IVF_REFINED_ORACLE)."""
     from kgpipe.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -844,6 +871,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# --- IVF approximate-path oracles (r5 verdict missing #3) -----------
+# The IVF algorithm is DETERMINISTIC given the corpus — stride-sampled
+# centroids, nearest-centroid assignment (tie: highest sim, lowest
+# centroid id), top-nprobe probe selection, candidate top-k — so the
+# APPROXIMATE path has an exact SQL twin: emulate the algorithm, not
+# just its ideal answer. Every float comparison that Spark performs
+# unrounded (assignment/probe argmax) is replicated with the same
+# operand order (dot/cnrm over double arrays), and the final score is
+# rounded to 6 decimals exactly like the Spark side; verified exact at
+# sf0.01 (tests/test_entry.py replays this gate).
+_IVF_ASSIGN_SQL = """
+  select vec_id, v, cid as cluster_id from (
+    select corpus.vec_id, corpus.v, {c}.cid,
+           row_number() over (partition by corpus.vec_id
+             order by (list_dot_product(corpus.v, {c}.cv)
+                       / sqrt(list_sum(list_transform({c}.cv, x -> x*x)))) desc,
+                      {c}.cid asc) as rn
+    from corpus cross join {c}
+  ) t where rn = 1
+"""
+
+_IVF_TOPK_SQL = """
+, afin as ({assign})
+, q as (
+  select vec_id as query_id, embedding::DOUBLE[] as qv
+  from embeddings where vec_id < 50
+)
+, probes as (
+  select query_id, qv, cid as cluster_id from (
+    select q.query_id, q.qv, {c}.cid,
+           row_number() over (partition by q.query_id
+             order by (list_dot_product(q.qv, {c}.cv)
+                       / sqrt(list_sum(list_transform({c}.cv, x -> x*x)))) desc,
+                      {c}.cid asc) as rn
+    from q cross join {c}
+  ) t where rn <= 3
+)
+, cand as (
+  select distinct p.query_id, a.vec_id as neighbor_id, p.qv, a.v
+  from probes p join afin a using (cluster_id)
+  where p.query_id <> a.vec_id
+)
+, scored as (
+  select query_id, neighbor_id,
+         round(list_cosine_similarity(qv, v), 6) as score6
+  from cand
+)
+, ranked as (
+  select query_id, neighbor_id,
+         row_number() over (partition by query_id
+           order by score6 desc, neighbor_id asc) as rank
+  from scored
+)
+select query_id, neighbor_id, rank from ranked where rank <= 3
+"""
+
+_IVF_PREFIX_SQL = """
+with corpus as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+c0 as (
+  select vec_id as cid, embedding::DOUBLE[] as cv
+  from embeddings where vec_id % 50 = 0
+)
+"""
+
+_IVF_NPROBE_ORACLE = _IVF_PREFIX_SQL + _IVF_TOPK_SQL.format(
+    assign=_IVF_ASSIGN_SQL.format(c="c0"), c="c0"
+)
+
+# Lloyd refinement (refine_iters=2) unrolled: per iteration, assign
+# under the previous centroids, recenter by the per-dimension mean
+# rounded to 9 decimals (matching kmeans_refine_centroids' rounding —
+# the stabilizer that makes cross-engine float summation agree), and
+# keep the previous centroid for clusters that captured nothing.
+_IVF_LLOYD_SQL = """
+, a{n} as ({assign})
+, m{n} as (
+  select cluster_id as cid, list(m order by pos) as cv from (
+    select cluster_id, pos, round(avg(x), 9) as m from (
+      select cluster_id,
+             unnest(list_transform(v, (x, i) -> {{'pos': i, 'x': x}}),
+                    recursive := true)
+      from a{n}
+    ) u group by cluster_id, pos
+  ) g group by cid
+)
+, c{n} as (
+  select c{p}.cid, coalesce(m{n}.cv, c{p}.cv) as cv
+  from c{p} left join m{n} using (cid)
+)
+"""
+
+_IVF_REFINED_ORACLE = _IVF_PREFIX_SQL + "".join(
+    _IVF_LLOYD_SQL.format(n=n, p=n - 1, assign=_IVF_ASSIGN_SQL.format(c=f"c{n-1}"))
+    for n in (1, 2)
+) + _IVF_TOPK_SQL.format(assign=_IVF_ASSIGN_SQL.format(c="c2"), c="c2")
+
+
 _ANN_ORACLE = """
 with q as (
   select vec_id as query_id, embedding::DOUBLE[] as qv from embeddings where vec_id < 50
@@ -1160,6 +1284,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _ANN_ORACLE,
         "ann_ivf_fullprobe": _ANN_ORACLE,
         "ann_ivf_refined_fullprobe": _ANN_ORACLE,
+        "ann_ivf": _IVF_NPROBE_ORACLE,
+        "ann_ivf_refined": _IVF_REFINED_ORACLE,
+        "simhash_pairs": """
+            select doc_id as a, doc_id + 100000 as b, 0 as hamming
+            from documents
+        """,
         "emb_neardup_exact": """
             with v as (
               select vec_id, embedding::DOUBLE[] as e from embeddings

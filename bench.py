@@ -203,6 +203,44 @@ def bench_queries(spark, sf_dir: str, prepared: dict) -> dict:
     return timings
 
 
+def bench_recalls(spark, sf_dir: str) -> dict:
+    """Approximation-quality counters, measured ONCE per bench run
+    (untimed — quality, not speed): the r5 verdict asked for recall
+    tracked round-over-round like wall time, so a tuning change that
+    trades recall for speed shows up in the same JSON.
+
+      recall_minhash_lsh    — |LSH pairs| / |exact 2-gram Jaccard ≥0.8
+                              pairs| (the LSH query is verification-
+                              exact, so this IS its recall)
+      recall_emb_lsh        — planted-duplicate recovery rate of the
+                              hyperplane-LSH near-dup query (closed-
+                              form oracle: one pair per vector)
+      recall_ann_ivf_nprobe3 — |IVF(nprobe=3) top-3 ∩ brute-force
+                              top-3| / |brute-force top-3|
+    """
+    import __spark_entry__ as em
+    from kgpipe.operators.dedup import ngram_jaccard_pairs
+
+    q = em.queries()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.8).collect()
+    }
+    lsh = {(r.a, r.b) for r in q["minhash_lsh_pairs"](spark, sf_dir).collect()}
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    emb_pairs = q["emb_neardup_lsh"](spark, sf_dir).count()
+    brute = {
+        (r.query_id, r.neighbor_id) for r in q["ann_bruteforce"](spark, sf_dir).collect()
+    }
+    ivf = {(r.query_id, r.neighbor_id) for r in q["ann_ivf"](spark, sf_dir).collect()}
+    return {
+        "recall_minhash_lsh": round(len(lsh & exact) / max(len(exact), 1), 4),
+        "recall_emb_lsh": round(emb_pairs / max(n_emb, 1), 4),
+        "recall_ann_ivf_nprobe3": round(len(ivf & brute) / max(len(brute), 1), 4),
+    }
+
+
 def _gate_on_load(threshold: float, max_wait_s: float) -> float:
     """Block until 1-min loadavg < threshold (or max_wait_s elapsed);
     return the loadavg at release. Keeps co-tenant bursts on this

@@ -107,3 +107,37 @@ def test_ngram_jaccard_threshold(spark, corpus):
     rows = ngram_jaccard_pairs(corpus, "doc_id", "text", k=3, threshold=0.9).collect()
     for r in rows:
         assert r.jaccard >= 0.9
+
+
+def test_simhash_matches_bruteforce_hamming_on_real_text(spark):
+    """Brute-force hamming twin over REAL corpus text (the r5 verdict's
+    promotion move): the banded/capped simhash operator must return
+    exactly the cross-join hamming ≤ 3 pair set — including the
+    nonzero-hamming pairs the driver's planted-corpus oracle cannot
+    plant. Pigeonhole banding guarantees recall at this radius, and
+    the exact hamming filter guarantees precision, so equality is
+    exact, not approximate."""
+    from kgpipe.operators.dedup import simhash64
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_pairs(
+            docs, "doc_id", "text", max_hamming=3, shingle_k=2
+        ).collect()
+    }
+    h = docs.select(F.col("doc_id").alias("id"), simhash64(F.col("text"), 2).alias("h"))
+    l = h.select(F.col("id").alias("a"), F.col("h").alias("ha"))
+    r_ = h.select(F.col("id").alias("b"), F.col("h").alias("hb"))
+    brute = (
+        l.crossJoin(r_)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+        )
+        .where(F.col("hamming") <= 3)
+    )
+    exp = {(r.a, r.b, r.hamming) for r in brute.collect()}
+    assert got == exp and len(exp) > 0
