@@ -288,6 +288,9 @@ def main() -> None:
                 t["kg_pipeline"] = round(pipe["sec"], 3)
                 pipes.append(pipe)
                 reps.append(t)
+            # approximation-quality counters, once per bench process
+            # (untimed; r5 verdict next #6)
+            recalls = bench_recalls(spark, sf_dir)
         finally:
             release_query_inputs(prepared)
             shutil.rmtree(gen_dir, ignore_errors=True)
@@ -313,6 +316,7 @@ def main() -> None:
             "convert_lines_per_sec": round(n_bulk / timings["convert_bulk"], 1),
             # ntto -a apples-to-apples: abbreviate-only, 223-rule table
             "abbrev_lines_per_sec": round(n_big / timings["abbrev_bulk"], 1),
+            **recalls,
         }
         # full per-rep evidence goes to a FILE (committed with the
         # round); the driver's stdout capture keeps only the final

@@ -361,11 +361,11 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
 
     explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
     if cfg.neardup_link:
-        uris = (
-            triples.select(F.col("s").alias("uri"))
-            .union(triples.select(F.col("o").alias("uri")))
-            .distinct()
-        )
+        # explode, not union-of-selects: the union form scans the
+        # triples table twice to build the same multiset
+        uris = triples.select(
+            F.explode(F.array("s", "o")).alias("uri")
+        ).distinct()
         if cfg.jaccard_threshold >= 1.0:
             near = exact_normalized_edges(uris, "uri")
             stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)

@@ -32,6 +32,17 @@ pages = spark.read.parquet(gen)
 io = TableIO(spark, wh); log = CheckpointLog(io); rules = parse_rules(RULES_16_TEXT)
 cfg = PipelineConfig(warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=64, n_buckets=32)
 
+# WARM UP untimed: the session's first pipeline pays JIT/codegen/
+# first-touch costs that belong to no stage (measured: a cold
+# per-stage pass reads 5x slower than the warm end-to-end run that
+# follows it) — the bench protocol itself is warm best-of-N
+whw = tempfile.mkdtemp(prefix="pp_warm_")
+run_pipeline(spark, pages, PipelineConfig(warehouse=whw, rules_text=RULES_16_TEXT, mode="compat", n_parts=64, n_buckets=32))
+shutil.rmtree(whw, ignore_errors=True)
+while os.getloadavg()[0] >= float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "3.0")):
+    time.sleep(5)
+print(f"load at profile start: {os.getloadavg()[0]:.2f}", flush=True)
+
 marks = [("start", time.monotonic())]
 def mark(name):
     marks.append((name, time.monotonic()))
