@@ -140,21 +140,27 @@ def cosine_pairs_exact(
 
 
 def hyperplane_signature(
-    vec: Column, dim: int, n_bits: int = 16, seed: int = 7
+    vec: Column, dim: int | None, n_bits: int = 16, seed: int = 7
 ) -> Column:
     """array<int> of sign bits from deterministic pseudo-random
     hyperplanes (Charikar SimHash for real vectors): plane i's d-th
     component is xxhash64(i, d, seed) mapped to [-1, 1), so executors
     regenerate identical planes with no broadcast and no RNG state.
     Pure codegen fold: n_bits × dim hash+multiply per row, no UDF.
-    Two vectors at angle θ disagree on each bit with prob θ/π."""
+    Two vectors at angle θ disagree on each bit with prob θ/π.
+
+    dim=None derives the fold range from F.size(vec) per row (still
+    fully plan-side, no driver action); vectors must be non-empty."""
     m = F.lit(1_000_003).cast("long")  # prime modulus for the unit map
     vd = vec.cast("array<double>")
+    dims = F.sequence(
+        F.lit(0), F.lit(dim - 1) if dim is not None else F.size(vd) - 1
+    )
 
     def plane_dot(i: Column) -> Column:
         # dot(vec, plane_i) via an indexed fold over the dimensions
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
+            dims,
             F.lit(0.0),
             lambda acc, d: acc
             + F.element_at(vd, d + 1)
@@ -191,17 +197,8 @@ def cosine_neardup_pairs(
 
     assert n_bits % n_bands == 0
     r = n_bits // n_bands
-    if dim is None:
-        # plane generation needs the dimensionality; when the caller
-        # doesn't pass it this runs one driver-side first() at
-        # plan-construction time
-        head = df.select(vec_col).first()
-        if head is None or head[0] is None:
-            raise ValueError(
-                "cosine_neardup_pairs: input frame is empty (or the "
-                f"first {vec_col!r} is null) — pass dim= explicitly"
-            )
-        dim = len(head[0])
+    # dim=None stays plan-side: hyperplane_signature folds over
+    # F.size(v) per row, so no driver-side first() at plan time
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     sig = hyperplane_signature(F.col("v"), dim, n_bits, seed)
     # signature materialized under the Generate (same inlining trap as

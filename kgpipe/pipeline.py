@@ -431,10 +431,22 @@ def _link_config_key(cfg: PipelineConfig) -> str:
     import hashlib
     import json
 
+    from kgpipe.operators.link import (
+        LSH_BANDS,
+        LSH_NUM_HASHES,
+        LSH_SEED,
+        LSH_SHINGLE_K,
+    )
+
     blob = json.dumps(
         {
             "jt": cfg.jaccard_threshold, "cap": cfg.lsh_max_bucket,
             "neardup": cfg.neardup_link, "sameas": cfg.sameas_pred,
+            # the banding FAMILY is part of the persisted lsh_index's
+            # identity: a code upgrade that changes any of these (e.g.
+            # the r6 shingle-k retune) must invalidate old indexes —
+            # signatures built under a different family never match
+            "lsh": [LSH_NUM_HASHES, LSH_BANDS, LSH_SHINGLE_K, LSH_SEED],
         },
         sort_keys=True,
     )

@@ -29,6 +29,49 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F
 
 
+def gen_append_pages(n: int):
+    """Pages whose NT entities are PAGE-SCOPED (…/e/{i}/x) with
+    sameAs only within the page, so append-only deltas never merge
+    components across batches — the daily-append regime the layered
+    materialize is built for (canon_changes stays empty and every
+    delta is a pure b_fp layer append). The stock gen_pages corpus
+    draws subjects from a shared pool, so each delta merges into
+    existing components; with few buckets the dir-fraction guard then
+    correctly prefers a full rewrite every time and layers never
+    accumulate (measured — that run answers a different question)."""
+    import pandas as pd
+
+    from kgpipe.fixtures import _EPOCH, OWL_SAMEAS, html_escape
+
+    import datetime as dt
+
+    def block(i: int) -> str:
+        e = f"http://ex.org/e/{i}"
+        lines = [
+            f"<{e}/a> <{OWL_SAMEAS}> <{e}/b> .",
+            f'<{e}/a> <http://purl.org/dc/terms/title> "Page {i}" .',
+            f"<{e}/b> <http://xmlns.com/foaf/0.1/knows> <{e}/c> .",
+            f"<{e}/c> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Person> .",
+        ]
+        return "\n".join(lines[: 2 + i % 3])
+
+    return pd.DataFrame(
+        {
+            "url": [f"https://site{i % 97}.example.org/page/{i}" for i in range(n)],
+            "warc_ts": [_EPOCH + dt.timedelta(seconds=i) for i in range(n)],
+            "html": [
+                (
+                    f"<html><head><title>Page {i}</title></head><body>"
+                    f'<pre class="nt">{html_escape(block(i))}</pre></body></html>'
+                ).encode("utf-8")
+                for i in range(n)
+            ],
+            "text": ["" for _ in range(n)],
+            "lang": ["en" for _ in range(n)],
+        }
+    )
+
+
 def count_parquet_files(root: str) -> int:
     n = 0
     for dirpath, _dirs, files in os.walk(root):
@@ -82,14 +125,13 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     args = ap.parse_args()
 
-    from kgpipe.fixtures import gen_pages
     from kgpipe.session import get_spark
 
     spark = get_spark(
         app_name="kgpipe-layer-probe", master=f"local[{args.cpus}]", shuffle_partitions=8
     )
     total = args.base_pages + args.deltas * args.delta_pages
-    pages = gen_pages(total)
+    pages = gen_append_pages(total)
     checkpoints = sorted({0, 10, 25, args.deltas})
     try:
         t0 = time.monotonic()
