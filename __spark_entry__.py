@@ -402,6 +402,26 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _planted_offset_guard(df, id_col, offset=100_000):
+    """Plan-side guard for the planted-duplicate corpora: the closed
+    -form oracles assume real ids never reach the planted range
+    (id + offset), so an id ≥ offset would collide two different rows
+    under one id and silently diverge query from oracle (ADVICE r6,
+    low). assert_true inside a filter survives column pruning and
+    fails the action with a named error instead. Safe at every
+    sandbox sf (≤5000 docs); this makes the scale trap diagnose
+    itself."""
+    ok = F.assert_true(
+        F.col(id_col) < F.lit(offset),
+        F.concat(
+            F.lit(f"planted-offset collision: {id_col}="),
+            F.col(id_col).cast("string"),
+            F.lit(f" >= {offset}"),
+        ),
+    )
+    return df.where(ok.isNull())
+
+
 def q_simhash_pairs(spark, sf_dir):
     """Planted-duplicate corpus (the emb_neardup_lsh move, r5 verdict
     missing #3): per doc_id, a synthetic text whose word grams are
@@ -426,7 +446,7 @@ def q_simhash_pairs(spark, sf_dir):
             ),
         ),
     )
-    docs = ids.select("doc_id", text.alias("text"))
+    docs = _planted_offset_guard(ids.select("doc_id", text.alias("text")), "doc_id")
     dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     # max_hamming=3 is the guaranteed-recall radius of the 4-band
     # blocking (pigeonhole); simhash_near_pairs raises on anything
@@ -459,10 +479,28 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """Approximate path (nprobe=3), oracle-gated since r6: the IVF
+    """Approximate path at the ENGINE DEFAULT operating point
+    (ivf_topk nprobe=24, set from the r7 recall-vs-wall sweep —
+    recall@3 0.87 vs brute force at sf0.1), oracle-gated: the IVF
     algorithm is deterministic given the corpus, so its SQL twin
-    emulates the ACTUAL probe-limited search (_IVF_NPROBE_ORACLE) —
-    not just the ideal answer the fullprobe variant checks."""
+    emulates the ACTUAL probe-limited search (_IVF_NPROBE_ORACLE).
+    At sf0.01 (10 clusters) the default covers every cluster; the
+    probe-SELECTION logic stays discriminatively gated by
+    ann_ivf_probelim below."""
+    from kgpipe.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 50), _spread(spark, emb), k=3, stride=50
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_ivf_probelim(spark, sf_dir):
+    """Deliberately probe-LIMITED IVF (nprobe=3 < n_clusters at every
+    sf): the gate that proves the top-nprobe probe selection and the
+    candidate restriction actually bound the search — the engine-
+    default query covers all sf0.01 clusters and can't see a probe-
+    selection bug there."""
     from kgpipe.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -521,7 +559,9 @@ def q_emb_neardup_lsh(spark, sf_dir):
     value oracle instead of a rows-only check."""
     from kgpipe.operators.similarity import cosine_neardup_pairs
 
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    emb = _planted_offset_guard(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), "vec_id"
+    )
     dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     # 8-bit bands: 256 bucket values per band keeps buckets ~n/256
     # (well under the cap); identical vectors share every band, so
@@ -845,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_probelim": q_ann_ivf_probelim,
         "ann_ivf_refined_fullprobe": q_ann_ivf_refined_fullprobe,
         "ann_ivf_refined": q_ann_ivf_refined,
         "emb_neardup_exact": q_emb_neardup_exact,
@@ -906,7 +947,7 @@ _IVF_TOPK_SQL = """
                        / sqrt(list_sum(list_transform({c}.cv, x -> x*x)))) desc,
                       {c}.cid asc) as rn
     from q cross join {c}
-  ) t where rn <= 3
+  ) t where rn <= {nprobe}
 )
 , cand as (
   select distinct p.query_id, a.vec_id as neighbor_id, p.qv, a.v
@@ -935,8 +976,17 @@ c0 as (
 )
 """
 
+# engine-default operating point (ivf_topk nprobe=24 — set from the
+# r7 recall-vs-wall sweep, see similarity.ivf_topk) and the
+# deliberately probe-LIMITED nprobe=3 twin: at sf0.01 (10 clusters)
+# nprobe=24 covers every cluster, so the nprobe=3 gate is what keeps
+# the probe-selection logic discriminatively oracle-checked
 _IVF_NPROBE_ORACLE = _IVF_PREFIX_SQL + _IVF_TOPK_SQL.format(
-    assign=_IVF_ASSIGN_SQL.format(c="c0"), c="c0"
+    assign=_IVF_ASSIGN_SQL.format(c="c0"), c="c0", nprobe=24
+)
+
+_IVF_NPROBE3_ORACLE = _IVF_PREFIX_SQL + _IVF_TOPK_SQL.format(
+    assign=_IVF_ASSIGN_SQL.format(c="c0"), c="c0", nprobe=3
 )
 
 # Lloyd refinement (refine_iters=2) unrolled: per iteration, assign
@@ -965,7 +1015,7 @@ _IVF_LLOYD_SQL = """
 _IVF_REFINED_ORACLE = _IVF_PREFIX_SQL + "".join(
     _IVF_LLOYD_SQL.format(n=n, p=n - 1, assign=_IVF_ASSIGN_SQL.format(c=f"c{n-1}"))
     for n in (1, 2)
-) + _IVF_TOPK_SQL.format(assign=_IVF_ASSIGN_SQL.format(c="c2"), c="c2")
+) + _IVF_TOPK_SQL.format(assign=_IVF_ASSIGN_SQL.format(c="c2"), c="c2", nprobe=3)
 
 
 _ANN_ORACLE = """
@@ -1285,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_fullprobe": _ANN_ORACLE,
         "ann_ivf_refined_fullprobe": _ANN_ORACLE,
         "ann_ivf": _IVF_NPROBE_ORACLE,
+        "ann_ivf_probelim": _IVF_NPROBE3_ORACLE,
         "ann_ivf_refined": _IVF_REFINED_ORACLE,
         "simhash_pairs": """
             select doc_id as a, doc_id + 100000 as b, 0 as hamming

@@ -14,14 +14,16 @@ benchmarks run over the sf tables themselves. Input generation and
 warehouse setup are OUTSIDE the timed regions.
 
 Measurement protocol (shared noisy host — BENCH/BASELINE.md): the
-suite runs SPARK_GRAFT_BENCH_REPEATS times (default 3) in one
+suite runs SPARK_GRAFT_BENCH_REPEATS times (default 5) in one
 session, each repetition gated on 1-min loadavg <
 SPARK_GRAFT_BENCH_LOADGATE (default 3.0, waits up to
 SPARK_GRAFT_BENCH_MAXWAIT seconds, default 120); the emitted
 "queries" are the per-query BEST across repetitions and "value" is
 their sum, so the committed round JSON IS the load-gated best-of-N
-evidence — no separate best-run table to diverge from. Per-rep raw
-timings and loads ship alongside under "reps"/"loads".
+evidence — no separate best-run table to diverge from.
+"queries_median" ships alongside so co-tenant spread is visible in
+the same JSON (r6 verdict directive #4: a best/median gap IS the
+noise attribution). Per-rep loads ship under "loads".
 """
 
 from __future__ import annotations
@@ -81,9 +83,18 @@ def bench_pipeline(spark, gen_dir: str) -> dict:
         )
         t0 = time.monotonic()
         res = run_pipeline(spark, pages, cfg)
-        n_triples = res.triples.count()
-        n_edges = res.edges.count()
+        # result sizes come from the pipeline's own write-time counters
+        # (per-partition ledger sums / an Observation on the edge
+        # write) — the pipeline already measured them DURING its jobs,
+        # so re-counting here would time two extra full-table scans
+        # that exist only for the bench's bookkeeping (r6 verdict
+        # directive #5). Cross-checked against real counts below,
+        # OUTSIDE the timed region.
+        n_triples = res.counters["extract_parse_abbrev"]["n_out"]
+        n_edges = res.counters["materialize"]["n_out"]
         dt = time.monotonic() - t0
+        assert n_triples == res.triples.count(), "ledger n_out != triples count"
+        assert n_edges == res.edges.count(), "materialize n_out != edges count"
         return {"sec": dt, "n_triples": n_triples, "n_edges": n_edges,
                 "triples_per_sec": n_triples / dt}
     finally:
@@ -212,14 +223,25 @@ def bench_recalls(spark, sf_dir: str) -> dict:
       recall_minhash_lsh    — |LSH pairs| / |exact 2-gram Jaccard ≥0.8
                               pairs| (the LSH query is verification-
                               exact, so this IS its recall)
+      minhash_missed_*      — drop-accounting for any recall gap:
+                              how many missed truth pairs died in
+                              cap-dropped buckets (tunable) vs never
+                              collided in a band (the probabilistic
+                              bound) — r6 verdict directive #2
       recall_emb_lsh        — planted-duplicate recovery rate of the
                               hyperplane-LSH near-dup query (closed-
                               form oracle: one pair per vector)
-      recall_ann_ivf_nprobe3 — |IVF(nprobe=3) top-3 ∩ brute-force
-                              top-3| / |brute-force top-3|
+      recall_ann_ivf_default — |IVF at the engine default (nprobe=24)
+                              top-3 ∩ brute-force top-3| / |brute top-3|
+      recall_ann_ivf_nprobe3 — same for the probe-limited nprobe=3
+                              gate query (round-over-round continuity
+                              with r6's field of the same name)
     """
     import __spark_entry__ as em
-    from kgpipe.operators.dedup import ngram_jaccard_pairs
+    from kgpipe.operators.dedup import (
+        minhash_miss_attribution,
+        ngram_jaccard_pairs,
+    )
 
     q = em.queries()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -228,16 +250,36 @@ def bench_recalls(spark, sf_dir: str) -> dict:
         for r in ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.8).collect()
     }
     lsh = {(r.a, r.b) for r in q["minhash_lsh_pairs"](spark, sf_dir).collect()}
+    missed = sorted(exact - lsh)
+    by_cause = {}
+    if missed:
+        att = (
+            minhash_miss_attribution(
+                docs, "doc_id", "text",
+                spark.createDataFrame(missed, "a long, b long"),
+                num_hashes=64, bands=16, shingle_k=2, max_bucket=256,
+            )
+            .groupBy("cause").count().collect()
+        )
+        by_cause = {r["cause"]: r["count"] for r in att}
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     emb_pairs = q["emb_neardup_lsh"](spark, sf_dir).count()
     brute = {
         (r.query_id, r.neighbor_id) for r in q["ann_bruteforce"](spark, sf_dir).collect()
     }
     ivf = {(r.query_id, r.neighbor_id) for r in q["ann_ivf"](spark, sf_dir).collect()}
+    ivf3 = {
+        (r.query_id, r.neighbor_id)
+        for r in q["ann_ivf_probelim"](spark, sf_dir).collect()
+    }
     return {
         "recall_minhash_lsh": round(len(lsh & exact) / max(len(exact), 1), 4),
+        "minhash_missed": len(missed),
+        "minhash_missed_cap_dropped": by_cause.get("cap_dropped", 0),
+        "minhash_missed_banding": by_cause.get("banding_miss", 0),
         "recall_emb_lsh": round(emb_pairs / max(n_emb, 1), 4),
-        "recall_ann_ivf_nprobe3": round(len(ivf & brute) / max(len(brute), 1), 4),
+        "recall_ann_ivf_default": round(len(ivf & brute) / max(len(brute), 1), 4),
+        "recall_ann_ivf_nprobe3": round(len(ivf3 & brute) / max(len(brute), 1), 4),
     }
 
 
@@ -256,7 +298,11 @@ def _gate_on_load(threshold: float, max_wait_s: float) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # 5 reps (r6 verdict directive #4): per-query best-of-N is the
+    # headline, and the median is reported alongside so co-tenant
+    # spread on this shared box is visible in the JSON itself instead
+    # of masquerading as a regression
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "3.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAXWAIT", "120"))
     sf = _sf_of(sf_dir)
@@ -295,8 +341,11 @@ def main() -> None:
             release_query_inputs(prepared)
             shutil.rmtree(gen_dir, ignore_errors=True)
         # per-query best across load-gated repetitions — the committed
-        # snapshot IS the best-of-N evidence
+        # snapshot IS the best-of-N evidence; medians expose spread
         timings = {k: min(r[k] for r in reps) for k in reps[0]}
+        medians = {
+            k: round(sorted(r[k] for r in reps)[len(reps) // 2], 3) for k in reps[0]
+        }
         best_pipe = min(pipes, key=lambda p: p["sec"])
         total = round(sum(timings.values()), 3)
         out = {
@@ -304,6 +353,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_median": medians,
             "sf": sf,
             "cpus": cpus,
             "n_reps": n_reps,

@@ -497,6 +497,12 @@ class TableIO:
             raise IOError(f"replace: rename {nxt_p} -> {live} failed")
         if had_live:
             fs.delete(aside, True)
+        # write() cleared the staged `name__next` bucket metadata, not
+        # `name`'s: a replace of a previously BUCKETED table must also
+        # drop the live ident's session-catalog entry and bucket-spec
+        # marker, or read_bucketed-preferring callers keep stale
+        # bucketed metadata — same class as the drop() fix (ADVICE r6)
+        self._clear_bucket_spec(name)
 
     # -- small json side-files (markers, applied-batch ledgers) --------
     def write_json_atomic(self, name: str, obj) -> None:

@@ -49,6 +49,12 @@ LSH_BANDS = 8
 LSH_SHINGLE_K = 8
 LSH_MAX_BUCKET = 64
 LSH_SEED = 42
+# Bump when the signature ALGORITHM changes (not just the constants):
+# persisted banded indexes and run manifests key their identity on the
+# family, and an algorithm change reshapes every bucket. v2 = per-index
+# rehash replacing Kirsch-Mitzenmacher double hashing (see
+# minhash_signature).
+LSH_FAMILY_VERSION = 2
 
 
 def normalize_uri(col: Column) -> Column:
@@ -75,28 +81,36 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     """array<long> minhash signature as a per-row fold — no explode,
     no shuffle, no UDF.
 
-    Hash family by double hashing (Kirsch-Mitzenmacher): h_i(x) =
-    h1(x) + (2i+1)·h2(x). Two xxhash64 evaluations per shingle
-    instead of num_hashes — inlining num_hashes independent hash
-    calls into the fold made the generated code large enough to take
-    tens of seconds to JIT.
+    Hash family (v2): h_i(x) = xxhash64(h1(x), i) — the expensive
+    string hash h1 runs ONCE per shingle, then each index i rehashes
+    the (long, int) pair, so the per-shingle cost stays O(1) string
+    hashes + num_hashes cheap long-pair hashes, still loop-form
+    inside a HOF (no num_hashes-way codegen unroll → no JIT blowup).
 
-    ANSI-safe by construction: h1/h2 are masked to 32 bits, so the
-    largest combined value is < 2^32·(2·num_hashes+1) ≪ 2^63 — no
-    long overflow under Spark 4's default ANSI mode. Driver queries
-    must be correct under ANY session conf (the driver owns the
-    session), so wraparound arithmetic that needs ansi=false is
-    banned here. A 32-bit hash family is the standard minhash choice
-    (Spark MLlib's MinHashLSH uses a 31-bit prime field)."""
+    v1 used Kirsch-Mitzenmacher double hashing, h_i = h1 + (2i+1)·h2
+    — correct for Bloom filters but WRONG for banded minhash: if
+    h1(x) < h1(y) AND h2(x) < h2(y) then h_i(x) < h_i(y) for EVERY i,
+    so per-band collision events are strongly positively correlated
+    and the (1-J^r)^b recall bound (which needs independent bands)
+    breaks. Measured on sf0.1 documents at J ≥ 0.8: 7 banding misses
+    of 256 truth pairs (2.7%) where the independent-band bound
+    predicts 2.2e-4 (~0.06 pairs) — two orders over. The v2 rehash
+    restores band independence; same probe measures 0 banding misses
+    (tools/minhash_recall_probe.py). Bumping to v2 invalidates
+    persisted LSH indexes via LSH_FAMILY_VERSION in the config
+    digests — rebuilt, not silently mixed.
+
+    ANSI-safe: xxhash64 output is used as-is (no arithmetic at all,
+    so no long overflow under Spark 4's default ANSI mode). Driver
+    queries must be correct under ANY session conf (the driver owns
+    the session)."""
     init = F.array_repeat(F.lit(LONG_MAX), num_hashes)
-    m32 = F.lit((1 << 32) - 1).cast("long")
 
     def merge(acc: Column, x: Column) -> Column:
-        h1 = F.xxhash64(x, F.lit(seed)).bitwiseAND(m32)
-        h2 = F.xxhash64(x, F.lit(seed + 1)).bitwiseAND(m32)
+        h1 = F.xxhash64(x, F.lit(seed))
         hashes = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: h1 + (i * 2 + 1) * h2,
+            lambda i: F.xxhash64(h1, i),
         )
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 

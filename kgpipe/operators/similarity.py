@@ -150,12 +150,26 @@ def hyperplane_signature(
     Two vectors at angle θ disagree on each bit with prob θ/π.
 
     dim=None derives the fold range from F.size(vec) per row (still
-    fully plan-side, no driver action); vectors must be non-empty."""
+    fully plan-side, no driver action); vectors must be non-empty —
+    enforced with an in-plan assert_true, because sequence(0, -1) on
+    an empty array infers a DESCENDING step ([0, -1]) and element_at
+    then fails at action time with an unrelated invalid-index error,
+    and a null vector would otherwise propagate to silently dropped
+    rows (ADVICE r6, low)."""
     m = F.lit(1_000_003).cast("long")  # prime modulus for the unit map
     vd = vec.cast("array<double>")
-    dims = F.sequence(
-        F.lit(0), F.lit(dim - 1) if dim is not None else F.size(vd) - 1
-    )
+    if dim is None:
+        # assert_true returns null on pass; coalescing it under the
+        # size expression keeps the check inside the fold range so
+        # column pruning cannot drop it
+        checked = F.assert_true(
+            F.size(vd) > 0,
+            F.lit("hyperplane_signature: vector must be non-null and non-empty"),
+        )
+        upper = F.coalesce(checked.cast("int"), F.size(vd)) - 1
+    else:
+        upper = F.lit(dim - 1)
+    dims = F.sequence(F.lit(0), upper)
 
     def plane_dot(i: Column) -> Column:
         # dot(vec, plane_i) via an indexed fold over the dimensions
@@ -464,7 +478,18 @@ def kmeans_refine_centroids(
     decimals so results don't wobble with partition-order float
     summation; the refined table keeps the (centroid_id, vec)
     interface, so it slots into ivf_topk/assign_clusters unchanged.
-    """
+
+    Known (accepted) flake risk for the cross-engine oracle gate: an
+    unrounded mean lying WITHIN float error of a 1e-9 rounding
+    boundary can round differently between Spark's partition-order-
+    dependent avg and DuckDB's, flipping one assignment (ADVICE r6,
+    low). Measured noise floor on the sandbox corpora is ~1e-13 —
+    five orders below the boundary — so a flip needs a mean within
+    ~1e-13 of a 5×10⁻¹⁰ grid point (~p≈2e-4 per mean per run, and a
+    flip further requires the affected vector to sit near a Voronoi
+    boundary). Accepted rather than coarsened: rounding coarser would
+    widen the window in which two LEGITIMATELY different means
+    collide."""
     cents = init_centroids.select("centroid_id", F.col(vec_col))
     for _ in range(n_iter):
         assigned = assign_clusters(
@@ -513,12 +538,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     stride: int = 50,
-    nprobe: int = 2,
+    nprobe: int = 24,
     assign: str = "literal",
     refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: search only the nprobe clusters nearest to
     each query. → (query_id, neighbor_id, score, rank).
+
+    nprobe=24 default (was 2), set from the measured recall-vs-wall
+    curve on the sf0.1 embeddings (tools/ivf_sweep.py, 2000 vecs /
+    40 clusters, recall@3 vs brute force): nprobe 3 → 0.23, 8 → 0.51,
+    16 → 0.77, 20 → 0.81, 24 → 0.87, 28 → 0.95, with wall FLAT across
+    the sweep (job-latency bound at sandbox scale) — and refine_iters=2
+    buying only +0.04..+0.09 recall for 2.5-3.6× wall. On these
+    near-uniform synthetic embeddings recall ≈ probed-cluster mass, so
+    a high probe fraction is the honest operating point; on genuinely
+    clustered corpora the same default just over-probes (cost grows
+    with nprobe/n_clusters of the corpus scanned), and callers with
+    cluster structure should tune nprobe down against their own
+    recall target.
 
     assign='literal' (default, right for ≤~10⁴ centroids): corpus
     assignment and per-query probe selection are narrow folds over the

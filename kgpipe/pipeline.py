@@ -108,9 +108,23 @@ RUN_MANIFEST = "run_manifest.json"
 
 def _config_key(cfg: PipelineConfig) -> str:
     """Digest of every config field that changes pipeline OUTPUT — a
-    no-op skip must never survive a config change."""
+    no-op skip must never survive a config change. The module-level
+    LSH banding family (num_hashes/bands/shingle_k/seed) is part of
+    the output identity too: a family retune (e.g. the r6 shingle-k
+    4→8 change) must invalidate the non-incremental run-manifest skip
+    exactly as _link_config_key invalidates the incremental indexes —
+    otherwise a pre-retune warehouse rerun under identical cfg would
+    silently return old-family edges (ADVICE r6, medium)."""
     import hashlib
     import json
+
+    from kgpipe.operators.link import (
+        LSH_BANDS,
+        LSH_FAMILY_VERSION,
+        LSH_NUM_HASHES,
+        LSH_SEED,
+        LSH_SHINGLE_K,
+    )
 
     blob = json.dumps(
         {
@@ -119,6 +133,8 @@ def _config_key(cfg: PipelineConfig) -> str:
             "null": cfg.null_shortcut, "neardup": cfg.neardup_link,
             "jt": cfg.jaccard_threshold, "cc": cfg.cc_max_iter,
             "inc": cfg.incremental_link, "cap": cfg.lsh_max_bucket,
+            "lsh_family": [LSH_NUM_HASHES, LSH_BANDS, LSH_SHINGLE_K, LSH_SEED,
+                           LSH_FAMILY_VERSION],
         },
         sort_keys=True,
     )
@@ -211,7 +227,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
                 counters=_collect_counters(io, log),
             )
 
-    _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
+    stage_fp = _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
     triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
 
     fp = None
@@ -223,14 +239,18 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
         cmap = io.read("canonical_map", CMAP_DDL)
         _stage_materialize_incremental(spark, triples, cmap, cfg, io, log)
     else:
-        # ONE fingerprint scan of the triples table, shared by both
+        # ONE fingerprint of the triples table, shared by both
         # whole-stage checkpoints (link and materialize key their
         # resume decision on the same input identity — computing it
-        # twice was a full extra pass over the table). When the source
-        # manifest matched (but an output table was missing) the fp is
-        # taken from the marker: same files → same triples, no scan.
+        # twice was a full extra pass over the table). Priority: the
+        # run-manifest marker (same files → same triples, no scan),
+        # then the extract stage's xor-combined per-partition
+        # fingerprints (full recomputes — zero extra jobs), then the
+        # dedicated scan (partial resumes only).
         if marker_hit and marker.get("triples_fp") is not None:
             fp = (int(marker["triples_fp"]), int(marker["triples_n"]))
+        elif stage_fp is not None:
+            fp = stage_fp
         else:
             fp = _triples_fingerprint(triples)
         _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
@@ -268,9 +288,22 @@ def _read_edges(io: TableIO) -> DataFrame:
         return io.read("edges", EDGES_DDL)
 
 
-def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointLog, rules: list[Rule]):
+def _stage_extract_parse_abbrev(
+    spark, pages, cfg, io: TableIO, log: CheckpointLog, rules: list[Rule]
+) -> tuple[int, int] | None:
     """Fused narrow stage: html → text → (s,p,o,url) → abbreviated,
-    one pass, checkpointed per url-hash partition."""
+    one pass, checkpointed per url-hash partition.
+
+    Returns the whole-table (fingerprint, n) of the clean triples when
+    this run recomputed EVERY partition (fresh warehouse / full
+    rebuild — the common bench and first-run shape): the xor-hash
+    fingerprint is decomposable, so the per-partition stats scan that
+    runs anyway also yields the whole-table identity, and run() then
+    skips the separate _triples_fingerprint pass (r6 verdict directive
+    #5 — the fp scan and the stats scan shared no work before).
+    Returns None on partial resumes and no-op runs, where the ledger
+    holds stats for partitions this run never scanned — callers fall
+    back to the marker fp or the full scan."""
     stage = "extract_parse_abbrev"
     src = with_part_id(pages.select("url", "html"), "url", cfg.n_parts)
 
@@ -287,7 +320,7 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
         if (r["part_id"], r["fingerprint"], r["n_in"]) not in completed
     )
     if not pending and io.exists("triples_raw"):
-        return
+        return None
     todo = src.where(F.col("part_id").isin(pending))
 
     # fused single-Python-stage operator: one worker per task, one
@@ -308,13 +341,23 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
     # a column-pruned scan of the freshly written parquet (cheap; the
     # alternative recomputes the UDF chain).
     counts = {
-        r["part_id"]: (r["n_out"], r["n_err"])
+        r["part_id"]: (r["n_out"], r["n_err"], r["tfp"])
         for r in io.read("triples_raw", RAW_DDL)
         .where(F.col("part_id").isin(pending))
         .groupBy("part_id")
         .agg(
             F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_out"),
             F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("n_err"),
+            # per-partition clean-triple fingerprint, same hash as
+            # _triples_fingerprint (aggregates skip the error rows'
+            # NULLs); xor of these across ALL partitions IS the
+            # whole-table fingerprint
+            F.coalesce(
+                F.bit_xor(
+                    F.when(F.col("error").isNull(), F.xxhash64("s", "p", "o"))
+                ),
+                F.lit(0),
+            ).alias("tfp"),
         )
         .collect()
     }
@@ -325,8 +368,8 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
                 r["part_id"],
                 r["fingerprint"],
                 r["n_in"],
-                counts.get(r["part_id"], (0, 0))[0],
-                counts.get(r["part_id"], (0, 0))[1],
+                counts.get(r["part_id"], (0, 0, 0))[0],
+                counts.get(r["part_id"], (0, 0, 0))[1],
             )
             for r in fps_rows
             if r["part_id"] in pend
@@ -334,6 +377,14 @@ def _stage_extract_parse_abbrev(spark, pages, cfg, io: TableIO, log: CheckpointL
         "part_id int, fingerprint long, n_in long, n_out long, n_err long",
     )
     log.mark_done(stage, stats)
+    if completed or len(pend) < len(fps_rows):
+        return None  # partial recompute: unseen partitions exist
+    mask = (1 << 64) - 1
+    u = 0
+    for n_out, _n_err, tfp in counts.values():
+        u ^= tfp & mask
+    fp = u - (1 << 64) if u >= (1 << 63) else u  # back to signed, as bit_xor emits
+    return fp, sum(c[0] for c in counts.values())
 
 
 def _triples_fingerprint(triples) -> tuple[int, int]:
@@ -433,6 +484,7 @@ def _link_config_key(cfg: PipelineConfig) -> str:
 
     from kgpipe.operators.link import (
         LSH_BANDS,
+        LSH_FAMILY_VERSION,
         LSH_NUM_HASHES,
         LSH_SEED,
         LSH_SHINGLE_K,
@@ -446,7 +498,8 @@ def _link_config_key(cfg: PipelineConfig) -> str:
             # identity: a code upgrade that changes any of these (e.g.
             # the r6 shingle-k retune) must invalidate old indexes —
             # signatures built under a different family never match
-            "lsh": [LSH_NUM_HASHES, LSH_BANDS, LSH_SHINGLE_K, LSH_SEED],
+            "lsh": [LSH_NUM_HASHES, LSH_BANDS, LSH_SHINGLE_K, LSH_SEED,
+                    LSH_FAMILY_VERSION],
         },
         sort_keys=True,
     )

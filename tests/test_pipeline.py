@@ -794,3 +794,201 @@ def test_incremental_materialize_folds_layers(spark, tmp_path):
         (r.canon_s, r.p, r.canon_o) for r in res2.edges.collect()
     )
     assert got2 == exp
+
+
+def test_stage_fp_equals_dedicated_scan(spark, tmp_path):
+    """The extract stage's xor-combined per-partition fingerprint (the
+    r7 shared-scan optimization) must equal _triples_fingerprint's
+    dedicated whole-table scan bit-for-bit — the link/materialize
+    whole-stage checkpoints key on it, so a divergence would corrupt
+    resume identity. Covers both the fresh-run fast path (marker fp
+    written from stage_fp) and the xor/sign arithmetic round-trip."""
+    import json
+
+    from kgpipe.pipeline import _triples_fingerprint
+
+    wh = str(tmp_path / "wh_fp")
+    # pages must come from FILES: the run manifest (which carries the
+    # fp) is only written for file-backed sources
+    src = str(tmp_path / "pages_fp")
+    spark.createDataFrame(gen_pages(120)).repartition(5).write.parquet(src)
+    pages = spark.read.parquet(src)
+    cfg = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=8
+    )
+    res = run_pipeline(spark, pages, cfg)
+    marker = json.loads((tmp_path / "wh_fp" / "run_manifest.json").read_text())
+    assert marker["triples_fp"] is not None
+    assert (marker["triples_fp"], marker["triples_n"]) == _triples_fingerprint(
+        res.triples
+    )
+
+
+def _nt_pages(specs, start=0):
+    """Hand-crafted pages: specs is a list of lists of raw N-Triples
+    lines, one page per inner list. URLs are unique per page (offset
+    by `start` so successive deltas mint NEW urls)."""
+    import datetime as dt
+    from html import escape
+
+    import pandas as pd
+
+    rows = {
+        "url": [f"https://crafted.example.org/p/{start + i}" for i in range(len(specs))],
+        "warc_ts": [
+            dt.datetime(2025, 6, 1, tzinfo=dt.timezone.utc) + dt.timedelta(seconds=i)
+            for i in range(len(specs))
+        ],
+        "html": [
+            (
+                "<html><body><pre class=\"nt\">"
+                + escape("\n".join(lines))
+                + "</pre></body></html>"
+            ).encode()
+            for lines in specs
+        ],
+        "text": ["" for _ in specs],
+        "lang": ["en" for _ in specs],
+    }
+    return pd.DataFrame(rows)
+
+
+SAMEAS = "<http://www.w3.org/2002/07/owl#sameAs>"
+
+
+def test_multi_pending_batches_compose_chained_changes(spark, tmp_path, monkeypatch):
+    """r6 verdict next #6 (small-scale pin; scale cell in
+    tools/scale_stress.py cell D): several UNAPPLIED pending batches
+    whose label changes CHAIN (batch 1: kx-c→kx-b, batch 2: kx-b→kx-a
+    — canon is the lexicographic component min) must compose through
+    _compose_changes when one materialize finally applies them all:
+    the edge table still holds pre-batch-1 labels, so applying either
+    batch's change set alone would corrupt it. Batches are left
+    pending by suppressing the materialize stage during the delta
+    runs — exactly the crash shape (link committed, materialize not
+    reached)."""
+    import kgpipe.pipeline as pl
+    from kgpipe.io import TableIO
+
+    # base: component {kx-c, kx-d} (canon kx-c) + filler entities so
+    # the edge table spans several part_id dirs and the repair path
+    # (not the merge-storm rebuild) is what runs
+    base = [
+        [
+            f"<http://kx-c.example/e> {SAMEAS} <http://kx-d.example/e> .",
+            "<http://kx-d.example/e> <http://kx-p.example/t> \"base\" .",
+        ]
+    ] + [
+        [f"<http://kx-fill{i}.example/e> <http://kx-p.example/t> \"f{i}\" ."]
+        for i in range(24)
+    ]
+    d1 = [[f"<http://kx-b.example/e> {SAMEAS} <http://kx-c.example/e> ."]]
+    d2 = [[f"<http://kx-a.example/e> {SAMEAS} <http://kx-d.example/e> ."]]
+
+    wh = str(tmp_path / "wh_pend")
+    cfg = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
+        incremental_link=True,
+    )
+    p_base = _nt_pages(base)
+    p_d1 = _nt_pages(d1, start=100)
+    p_d2 = _nt_pages(d2, start=200)
+    import pandas as pd
+
+    run_pipeline(spark, spark.createDataFrame(p_base).repartition(4), cfg)
+
+    # deltas 1 and 2: link runs (canon_changes committed per batch),
+    # materialize never reached — both batches stack up pending
+    real_mat = pl._stage_materialize_incremental
+    monkeypatch.setattr(pl, "_stage_materialize_incremental", lambda *a, **k: None)
+    all_d1 = pd.concat([p_base, p_d1], ignore_index=True)
+    run_pipeline(spark, spark.createDataFrame(all_d1).repartition(4), cfg)
+    all_d2 = pd.concat([all_d1, p_d2], ignore_index=True)
+    run_pipeline(spark, spark.createDataFrame(all_d2).repartition(4), cfg)
+    monkeypatch.setattr(pl, "_stage_materialize_incremental", real_mat)
+
+    io = TableIO(spark, wh)
+    applied = pl._applied_batches(io)
+    ch = io.read("canon_changes", pl.CHANGES_DDL)
+    pend_ch = ch.where(~F.col("batch_fp").isin(sorted(applied)))
+    by_batch = {
+        r.batch_fp: (r.old_c, r.new_c)
+        for r in pend_ch.where(F.col("old_c").startswith("http://kx-")).collect()
+    }
+    assert len(by_batch) == 2, f"expected 2 pending kx change batches: {by_batch}"
+    (o1, n1), (o2, n2) = sorted(by_batch.values(), key=lambda t: t[0], reverse=True)
+    # the chain: batch 2 relabels the label batch 1 introduced
+    assert (o1, n1) == ("http://kx-c.example/e", "http://kx-b.example/e")
+    assert (o2, n2) == ("http://kx-b.example/e", "http://kx-a.example/e")
+
+    # one run applies BOTH pending batches; edges must equal scratch
+    res = run_pipeline(spark, spark.createDataFrame(all_d2).repartition(4), cfg)
+    layers = pl._edges_layer_names(io)
+    assert len(layers) > 1, f"repair path expected (not a rebuild): {layers}"
+    cfg_ref = PipelineConfig(
+        warehouse=str(tmp_path / "wh_pend_ref"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=8,
+    )
+    ref = run_pipeline(spark, spark.createDataFrame(all_d2).repartition(4), cfg_ref)
+    got = collections.Counter((r.canon_s, r.p, r.canon_o) for r in res.edges.collect())
+    exp = collections.Counter((r.canon_s, r.p, r.canon_o) for r in ref.edges.collect())
+    assert got == exp
+    # the pre-batch-1 label kx-c is gone from the edge table — only a
+    # COMPOSED kx-c→kx-a application explains that plus correctness
+    assert not any(k[0] == "http://kx-c.example/e" for k in got)
+
+
+def test_merge_storm_triggers_full_rebuild(spark, tmp_path):
+    """The REWRITE_DIR_FRACTION fallback (pipeline.py ~1176): a delta
+    whose merges relabel nearly every component would rewrite more
+    dirs than one sequential full write costs — the stage must fall
+    back to ONE rebuild layer, and the result must still equal a
+    scratch recompute."""
+    import kgpipe.pipeline as pl
+    from kgpipe.io import TableIO
+
+    k = 24
+    base = [
+        [
+            f"<http://kx-m{i:02d}.example/e> {SAMEAS} <http://kx-n{i:02d}.example/e> .",
+            f"<http://kx-n{i:02d}.example/e> <http://kx-p.example/t> \"b{i}\" .",
+        ]
+        for i in range(k)
+    ]
+    # every component gets a new lexicographically-SMALLER member →
+    # every canon label changes → affected dirs ≫ REWRITE_DIR_FRACTION
+    storm = [
+        [f"<http://kx-a{i:02d}.example/e> {SAMEAS} <http://kx-n{i:02d}.example/e> ."]
+        for i in range(k)
+    ]
+    wh = str(tmp_path / "wh_storm")
+    cfg = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat", n_parts=8,
+        incremental_link=True,
+    )
+    import pandas as pd
+
+    p_base = _nt_pages(base)
+    run_pipeline(spark, spark.createDataFrame(p_base).repartition(4), cfg)
+    all_pages = pd.concat([p_base, _nt_pages(storm, start=500)], ignore_index=True)
+    res = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(4), cfg)
+
+    io = TableIO(spark, wh)
+    layers = pl._edges_layer_names(io)
+    assert layers == ["full"], f"merge storm must rebuild into one layer: {layers}"
+    # the rebuild's coverage marker lists every batch — nothing pending
+    assert not [
+        b for b in {
+            r.batch_fp for r in io.read(
+                "linked_urls", pl.LINKED_URLS_DDL
+            ).select("batch_fp").distinct().collect()
+        } if b not in pl._applied_batches(io)
+    ]
+    cfg_ref = PipelineConfig(
+        warehouse=str(tmp_path / "wh_storm_ref"), rules_text=RULES_16_TEXT,
+        mode="compat", n_parts=8,
+    )
+    ref = run_pipeline(spark, spark.createDataFrame(all_pages).repartition(4), cfg_ref)
+    got = collections.Counter((r.canon_s, r.p, r.canon_o) for r in res.edges.collect())
+    exp = collections.Counter((r.canon_s, r.p, r.canon_o) for r in ref.edges.collect())
+    assert got == exp

