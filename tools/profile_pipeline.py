@@ -1,6 +1,10 @@
 """Stage-level wall-time profile of the KG pipeline at bench size.
 
 Usage: python tools/profile_pipeline.py [n_pages]
+   or: SPARK_GRAFT_CORPUS=/path/to/pages.parquet python tools/profile_pipeline.py
+(the env form reuses a pre-staged corpus — required for low-core
+attribution runs where regenerating 600k pages on local[2] would
+dwarf the measurement)
 Separates every component of run_pipeline so a bench regression can
 be attributed: the r5 additions to the NON-incremental path (source
 manifest, run-marker read/write) are timed individually alongside
@@ -24,9 +28,12 @@ from pyspark.sql import functions as F
 
 _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 spark = get_spark(master=f"local[{_cpus}]", shuffle_partitions=max(_cpus, 8))
-gen = tempfile.mkdtemp(prefix="pp_pages_")
 wh = tempfile.mkdtemp(prefix="pp_wh_")
-gen_pages_spark(spark, int(sys.argv[1]) if len(sys.argv) > 1 else 40000).write.mode("overwrite").parquet(gen)
+gen = os.environ.get("SPARK_GRAFT_CORPUS")
+owns_gen = gen is None
+if owns_gen:
+    gen = tempfile.mkdtemp(prefix="pp_pages_")
+    gen_pages_spark(spark, int(sys.argv[1]) if len(sys.argv) > 1 else 40000).write.mode("overwrite").parquet(gen)
 pages = spark.read.parquet(gen)
 
 io = TableIO(spark, wh); log = CheckpointLog(io); rules = parse_rules(RULES_16_TEXT)
@@ -74,6 +81,6 @@ t0 = time.monotonic()
 res = run_pipeline(spark, pages, cfg2)
 res.triples.count(); res.edges.count()
 print(f"run_pipeline end-to-end (fresh wh): {time.monotonic()-t0:.2f}s", flush=True)
-for d in (gen, wh, wh2):
+for d in ([gen] if owns_gen else []) + [wh, wh2]:
     shutil.rmtree(d, ignore_errors=True)
 spark.stop()

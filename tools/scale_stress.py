@@ -269,7 +269,9 @@ def _map_digest(df) -> tuple[int, int]:
     map equality without an except-join over 2×~60M rows."""
     r = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("uri", "canon_id")).alias("h"),
+        # bit_xor, not sum: ANSI-safe (no long overflow) and rows are
+        # unique per uri, so xor is a sound multiset-equality digest
+        F.bit_xor(F.xxhash64("uri", "canon_id")).alias("h"),
     ).collect()[0]
     return int(r["n"]), int(r["h"])
 
@@ -313,7 +315,9 @@ def cell_d_stacked(spark, n_edges: int, out: dict, n_batches: int = 8) -> None:
 
     def delta_i(i: int):
         ids = spark.range(n_delta)
-        # bulk: 6/7 new nodes joining existing clusters, 1/7 merges
+        # bulk: 6/7 new nodes joining existing clusters ("z…" ids —
+        # they sort AFTER the "u…" cluster labels, so a pure append
+        # does not relabel, the daily-crawl delta shape), 1/7 merges
         # between cluster j and j+i — for a fixed j the batches chain
         # the SAME growing component (overlapping windows)
         cl = F.pmod(F.xxhash64("id", F.lit(i)), F.lit(n_clusters - n_batches - 1))
@@ -322,7 +326,7 @@ def cell_d_stacked(spark, n_edges: int, out: dict, n_batches: int = 8) -> None:
             F.when(
                 merge_edge, F.concat(F.lit("u"), (cl * 6 + 5).cast("string"))
             ).otherwise(
-                F.concat(F.lit("b"), F.lit(i).cast("string"), F.lit("n"),
+                F.concat(F.lit("z"), F.lit(i).cast("string"), F.lit("n"),
                          F.col("id").cast("string"))
             ).alias("src"),
             F.when(
