@@ -1,6 +1,6 @@
 """IVF operating-point sweep (r6 verdict directive #3): measure
-recall@3 vs brute force AND wall for nprobe ∈ {3, 8, 16} ×
-refine_iters ∈ {0, 2} on the sf0.1 embeddings, so the engine default
+recall@3 vs brute force AND wall for nprobe ∈ {3, 8, 16, 20, 24, 28}
+× refine_iters ∈ {0, 2} on the sf0.1 embeddings, so the engine default
 is set from a measured recall-vs-wall curve instead of a guess.
 
 Usage: python tools/ivf_sweep.py [sf_dir]
@@ -46,7 +46,7 @@ def main() -> None:
 
     cells = []
     for refine in (0, 2):
-        for nprobe in (3, 8, 16):
+        for nprobe in (3, 8, 16, 20, 24, 28):
             # warm + measure best-of-2 (cached corpus, so reps are cheap)
             walls, pairs = [], None
             for _ in range(2):
