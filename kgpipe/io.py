@@ -153,6 +153,95 @@ class TableIO:
                 return self.spark.createDataFrame([], schema)
             raise
 
+    # -- driver-side fast path for TINY metadata tables ------------------
+    # A Spark write of a one-row stats table or a 64-row ledger append
+    # costs a full job + commit protocol (~0.5-0.7s of fixed latency);
+    # at three ledger appends + a stats write per pipeline run that is
+    # ~2s of pure overhead. On a LOCAL warehouse the same bytes land
+    # via pyarrow + an atomic rename in ~10ms, producing parquet files
+    # Spark reads interchangeably (the read path already tolerates
+    # mixed files; leading-underscore temp names are invisible to
+    # listings, like _SUCCESS). Non-local warehouses and catalog mode
+    # keep the Spark writer — correctness first, the fast path is an
+    # I/O shortcut with identical on-disk semantics.
+
+    def _local_dir(self, name: str) -> str | None:
+        root = self.path(name)
+        if root.startswith("file:"):
+            return root[len("file:"):]
+        if "://" in root or root.startswith("hdfs:"):
+            return None
+        return root
+
+    def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        """Write a SMALL DataFrame (collected to the driver) as one
+        parquet file. Semantics match write(): overwrite replaces the
+        table, append adds rows. Falls back to the Spark writer off
+        the local filesystem or in catalog mode."""
+        d = None if self.catalog is not None else self._local_dir(name)
+        if d is None:
+            self.write(df, name, mode=mode)
+            return
+        import os
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = df.collect()
+        fields = []
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            pa_t = {
+                "int": pa.int32(), "bigint": pa.int64(), "string": pa.string(),
+                "double": pa.float64(), "float": pa.float32(),
+                "boolean": pa.bool_(),
+            }.get(t)
+            if pa_t is None:  # unsupported type → generic writer
+                self.write(df, name, mode=mode)
+                return
+            fields.append(pa.field(f.name, pa_t))
+        schema = pa.schema(fields)
+        cols = [[r[i] for r in rows] for i in range(len(fields))]
+        table = pa.Table.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)], schema=schema
+        )
+        if mode == "overwrite":
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f"_tmp-{uuid.uuid4().hex}")
+        final = os.path.join(d, f"part-{uuid.uuid4().hex}-kgpipe.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)  # atomic on local fs
+        self._clear_bucket_spec(name)
+
+    def read_small_rows(self, name: str) -> list[dict] | None:
+        """Driver-side read of a small table as a list of row dicts —
+        None when the fast path does not apply (non-local / catalog /
+        missing table); callers then use the Spark reader."""
+        if self.catalog is not None:
+            return None
+        d = self._local_dir(name)
+        if d is None:
+            return None
+        import os
+
+        if not os.path.isdir(d):
+            return None
+        import pyarrow.parquet as pq
+
+        parts = [
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+        if not parts:
+            return []
+        out: list[dict] = []
+        for p in parts:
+            out.extend(pq.read_table(p).to_pylist())
+        return out
+
     def _bucket_ident(self, name: str) -> str:
         """Session-catalog identifier for a bucketed table, namespaced
         by warehouse root so two TableIO instances with different

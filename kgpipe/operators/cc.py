@@ -107,6 +107,22 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     (uri, canon_id) contract as the star-rounds: every node appearing
     in an edge maps to its component's lexicographic-min URI (roots
     included, mapping to themselves)."""
+    import pandas as pd
+
+    pdf = e.select("src", "dst").toPandas()
+    return _union_find_from_pandas(e.sparkSession, pdf)
+
+
+def _union_find_from_pandas(spark, pdf) -> DataFrame:
+    """Union-find over an already-collected (src, dst) pandas frame.
+    Collect and return both ride Arrow (toPandas /
+    createDataFrame(pandas) — enabled in kgpipe.session), which at the
+    ~10⁵-edge threshold is several times faster than row-pickled
+    collect() + createDataFrame(list-of-tuples). Output is order-
+    independent: union-by-canonical-order makes the root the
+    component minimum regardless of edge order."""
+    import pandas as pd
+
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -117,8 +133,7 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.collect():
-        a, b = row["src"], row["dst"]
+    for a, b in zip(pdf["src"], pdf["dst"]):
         for v in (a, b):
             if v not in parent:
                 parent[v] = v
@@ -130,8 +145,10 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    rows = [(v, find(v)) for v in parent]
-    return e.sparkSession.createDataFrame(rows, "uri string, canon_id string")
+    out = pd.DataFrame(
+        {"uri": list(parent.keys()), "canon_id": [find(v) for v in parent]}
+    )
+    return spark.createDataFrame(out, schema="uri string, canon_id string")
 
 
 def connected_components(
@@ -154,30 +171,43 @@ def connected_components(
     alternating-star rounds. Pass small_graph_max_edges=None/0 to
     force the distributed path (tests pin both produce equal maps).
     """
-    e = (
+    from pyspark.storagelevel import StorageLevel
+
+    filtered = (
         edges.select("src", "dst")
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
-    # materialize the input ONCE: the size probe and then either path
-    # (collect, or round 1's double reference through symmetrization)
-    # would otherwise recompute the whole upstream edge derivation
-    # (scans, distincts, normalization) per reference — measured as
-    # the bulk of round-1 latency. persist rather than localCheckpoint:
-    # checkpointing a complex plan (windows + unions, e.g. the LSH
-    # linker's) trips a Spark attribute-resolution bug ("key not
-    # found: src#N"). MEMORY_AND_DISK → spills, not OOM.
-    from pyspark.storagelevel import StorageLevel
-
-    e0 = e.persist(StorageLevel.MEMORY_AND_DISK)
+    if small_graph_max_edges:
+        # TIER 1: probe the RAW (pre-distinct) edge stream — probe and
+        # collect fused into one Arrow job with NO shuffle at all: the
+        # limit caps how much is materialized to answer "bigger than
+        # the threshold?", and when the answer is no, the probe's rows
+        # ARE the edge set (union-find dedups duplicates natively, so
+        # the result is identical to running over the distinct set).
+        # The previous shape paid the distinct exchange plus a count
+        # job plus a separate full collect for the same answer.
+        pdf = filtered.limit(small_graph_max_edges + 1).select("src", "dst").toPandas()
+        if len(pdf) <= small_graph_max_edges:
+            return _union_find_from_pandas(edges.sparkSession, pdf)
+    # materialize the DISTINCT edge set ONCE: the tier-2 probe and
+    # then either path (collect, or round 1's double reference through
+    # symmetrization) would otherwise recompute the whole upstream
+    # edge derivation (scans, distincts, normalization) per reference
+    # — measured as the bulk of round-1 latency. persist rather than
+    # localCheckpoint: checkpointing a complex plan (windows + unions,
+    # e.g. the LSH linker's) trips a Spark attribute-resolution bug
+    # ("key not found: src#N"). MEMORY_AND_DISK → spills, not OOM.
+    e0 = filtered.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     e = e0
     if small_graph_max_edges:
-        # early-stopping probe: the limit caps how much of the edge
-        # set is materialized to answer "bigger than the threshold?"
-        probe = e0.limit(small_graph_max_edges + 1).count()
-        if probe <= small_graph_max_edges:
-            out = _driver_union_find(e0)
+        # TIER 2: the raw stream was over-threshold but duplicates may
+        # still put the DISTINCT set under it (union-find beats ~10
+        # star-round jobs by 10-100× at this size, so one extra probe
+        # is cheap insurance before committing to the iterative path)
+        pdf = e0.limit(small_graph_max_edges + 1).select("src", "dst").toPandas()
+        if len(pdf) <= small_graph_max_edges:
+            out = _union_find_from_pandas(e0.sparkSession, pdf)
             e0.unpersist(blocking=False)
             return out
     # distributed path: fill the cache in full BEFORE iterating — the

@@ -96,17 +96,22 @@ def minhash_dup_pairs(
     sh = F.array_distinct(
         F.transform(word_shingles(F.col(text_col), shingle_k), lambda g: F.xxhash64(g))
     )
-    # EAGER: the (id, hashed-shingles) base is consumed three ways
-    # (signature fold → bands, and both sides of the verification
-    # join); checkpointing it once stops the shingle derivation from
-    # recomputing per consumer, and banded_rows(materialize=True)
-    # pins the signature fold so the two-phase skew guard pays it
-    # once (see banded_rows docstring for why not persist()).
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")).localCheckpoint(
-        eager=True
+    # ONE eager checkpoint holding (id, hashed-shingles, signature):
+    # the base is consumed three ways (bands, and both sides of the
+    # verification join) and the banded rows twice (capped_buckets'
+    # two-phase skew guard) — materializing shingles AND the signature
+    # fold together costs one job where the previous shape paid two
+    # (a base checkpoint, then banded_rows(materialize=True)'s second
+    # checkpoint re-reading it just to pin the signature). The two
+    # stacked selects keep the shingle derivation out of the signature
+    # expression (CollapseProject leaves a non-cheap alias referenced
+    # twice alone), so shingles are still evaluated once per row.
+    base = (
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("__sig"))
+        .localCheckpoint(eager=True)
     )
-    sig = minhash_signature(F.col("sh"), num_hashes)
-    banded = banded_rows(base, "id", sig, bands, r, materialize=True)
+    banded = banded_rows(base, "id", F.col("__sig"), bands, r)
     buckets = capped_buckets(banded, max_bucket, F.collect_list("id").alias("ids"))
     ids = F.array_sort(F.array_distinct(F.col("ids")))
     cand = (
@@ -135,26 +140,83 @@ _BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
 def simhash64(text: Column, shingle_k: int = 2) -> Column:
-    """64-bit simhash of word k-grams as a codegen'd fold: accumulate
-    per-bit counters (±1 per gram bit), then pack the sign vector
-    into a long by xor-ing the masks of non-negative counters."""
+    """64-bit simhash of word k-grams, value-identical to the classic
+    ±1-counter formulation but restructured for evaluation cost (r8):
+
+      * each gram is hashed ONCE into an array bound to a lambda
+        variable — the previous per-gram signs() referenced the
+        xxhash64(gram) subtree from all 64 bit tests, and HOF lambdas
+        re-evaluate referenced subtrees per element, so every gram
+        paid 64 string hashes;
+      * the per-bit ±1 counter c_i = 2·(set-bit count) − n, so the
+        sign test c_i ≥ 0 is exactly 2·cnt_i ≥ n over an integer
+        popcount per bit — no per-gram 64-wide arrays, no zip_with
+        accumulator allocation per gram;
+      * the single-element transform(array(x), …) wrappers are let-
+        bindings: they evaluate the hash array (and its size) once
+        per row and expose them as O(1) lambda variables.
+
+    Bit membership ((h >> i) & 1, arithmetic shift for the sign bit)
+    matches the old mask test for every i incl. 63; the xor-pack
+    accumulates the same masks in the same order; null text still
+    yields a null hash. Pinned equal to the previous implementation
+    bit-for-bit (tests/test_dedup.py brute twin + oracle gate)."""
     grams = word_shingles(text, shingle_k)
-    init = F.array_repeat(F.lit(0).cast("long"), 64)
+    hs = F.transform(grams, lambda g: F.xxhash64(g))
 
-    def signs(g: Column) -> Column:
-        h = F.xxhash64(g)
-        return F.array(*[
-            F.when(h.bitwiseAND(F.lit(m).cast("long")) != 0, F.lit(1).cast("long"))
-            .otherwise(F.lit(-1).cast("long"))
-            for m in _BIT_MASKS
-        ])
+    def pack(h_arr: Column, n: Column) -> Column:
+        one = F.lit(1).cast("long")
 
-    counters = F.aggregate(grams, init, lambda acc, g: F.zip_with(acc, signs(g), lambda a, b: a + b))
-    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
-    packed = F.zip_with(
-        counters, masks, lambda c, m: F.when(c >= 0, m).otherwise(F.lit(0).cast("long"))
+        def popbit(i: int):
+            # factory, not a default-arg lambda: pyspark's HOF wrapper
+            # inspects the lambda arity and rejects extra parameters
+            return lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(one)
+
+        expr = F.lit(0).cast("long")
+        for i, m in enumerate(_BIT_MASKS):
+            cnt = F.aggregate(h_arr, F.lit(0).cast("long"), popbit(i))
+            expr = expr.bitwiseXOR(
+                F.when(cnt * 2 >= n, F.lit(m).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return expr
+
+    return F.element_at(
+        F.transform(
+            F.array(hs),
+            lambda h_arr: F.element_at(
+                F.transform(
+                    F.array(F.size(h_arr)),
+                    lambda n: F.when(
+                        h_arr.isNotNull(), pack(h_arr, n)
+                    ).otherwise(F.lit(None).cast("long")),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
-    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+
+
+# Expression-tree memo (EXPRESSIONS only — never data or results):
+# the simhash column is ~70 nested higher-order functions whose
+# CONSTRUCTION costs ~1s of py4j round-trips, re-paid on every query
+# build (bench repetitions rebuild each plan). The tree depends only
+# on shingle_k once the input is pinned to a fixed column name, so
+# build it once per process against `__simhash_in` and let callers
+# substitute their text column with an alias-select (the alias is an
+# attribute → CollapseProject folds the extra Project away).
+_SIMHASH_IN = "__simhash_in"
+_SIMHASH_EXPR_CACHE: dict[int, Column] = {}
+
+
+def _simhash64_on_input_col(shingle_k: int) -> Column:
+    c = _SIMHASH_EXPR_CACHE.get(shingle_k)
+    if c is None:
+        c = simhash64(F.col(_SIMHASH_IN), shingle_k)
+        _SIMHASH_EXPR_CACHE[shingle_k] = c
+    return c
 
 
 def simhash_near_pairs(
@@ -185,15 +247,19 @@ def simhash_near_pairs(
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
-    # EAGER: the simhash fold (64 per-bit masks per gram — the
-    # heaviest signature derivation in the family) feeds the banded
-    # rows, which capped_buckets traverses twice; the (id, h) base is
-    # ONE long per row, so checkpointing it costs ~nothing and halves
-    # the operator (measured: the unmaterialized form doubled in the
-    # r3 bench when the two-phase skew guard landed).
-    base = df.select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_k).alias("h")
-    ).localCheckpoint(eager=True)
+    # EAGER: the simhash fold (the heaviest signature derivation in
+    # the family) feeds the banded rows, which capped_buckets
+    # traverses twice; the (id, h) base is ONE long per row, so
+    # checkpointing it costs ~nothing and halves the operator
+    # (measured: the unmaterialized form doubled in the r3 bench when
+    # the two-phase skew guard landed). The hash expression comes from
+    # the per-process memo via an alias-select (same plan after
+    # CollapseProject; ~1s of per-call py4j construction saved).
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias(_SIMHASH_IN))
+        .select("id", _simhash64_on_input_col(shingle_k).alias("h"))
+        .localCheckpoint(eager=True)
+    )
     banded = base.select(
         "id",
         "h",

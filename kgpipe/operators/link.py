@@ -103,18 +103,28 @@ def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) ->
     ANSI-safe: xxhash64 output is used as-is (no arithmetic at all,
     so no long overflow under Spark 4's default ANSI mode). Driver
     queries must be correct under ANY session conf (the driver owns
-    the session)."""
-    init = F.array_repeat(F.lit(LONG_MAX), num_hashes)
+    the session).
 
-    def merge(acc: Column, x: Column) -> Column:
-        h1 = F.xxhash64(x, F.lit(seed))
+    Evaluation shape (r8): h1 is computed by a transform over the
+    shingles BEFORE the fold, so the fold's element is the already-
+    hashed long bound to a lambda VARIABLE. The previous form computed
+    h1 inside the fold lambda, where each of the num_hashes per-index
+    rehashes re-evaluated the h1 subtree (HOF lambdas re-evaluate
+    their body subtrees per element — nothing CSEs across them), i.e.
+    num_hashes h1 evaluations per shingle instead of one. Identical
+    values — same function composition xxhash64(xxhash64(x, seed), i)
+    — so the family version is unchanged."""
+    init = F.array_repeat(F.lit(LONG_MAX), num_hashes)
+    pre = F.transform(shingles, lambda x: F.xxhash64(x, F.lit(seed)))
+
+    def merge(acc: Column, h1: Column) -> Column:
         hashes = F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda i: F.xxhash64(h1, i),
         )
         return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-    return F.aggregate(shingles, init, merge)
+    return F.aggregate(pre, init, merge)
 
 
 def banded_rows(
@@ -206,14 +216,22 @@ def capped_buckets(
     row per (bucket, partition). persist() is never the answer here:
     it pins the plan in the session CacheManager until an explicit
     unpersist, which a lazy helper has no safe point to issue."""
+    from pyspark.sql import Observation
+
+    # key count measured by the SAME job that materializes the key
+    # set (Observation populated by the eager checkpoint) — the
+    # previous count() on the checkpointed frame was one more fixed-
+    # latency job per family query
+    obs = Observation()
     oversized = (
         banded.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("__sz"))
         .where(F.col("__sz") > max_bucket)
         .select("band", "bh")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if oversized.count() <= broadcast_key_limit:
+    if int(obs.get["n"]) <= broadcast_key_limit:
         kept = banded.join(F.broadcast(oversized), ["band", "bh"], "left_anti")
     else:
         kept = banded.join(oversized.hint("shuffle_merge"), ["band", "bh"], "left_anti")

@@ -38,13 +38,81 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+# --- static-dimension fast paths (guide §1.2 "per-task work") ---------
+# Higher-order-function folds (aggregate/zip_with) are interpreted
+# per element — outside whole-stage codegen — so a 64-dim dot product
+# costs ~200 interpreted lambda dispatches per pair. When the vector
+# dimension is known, the same arithmetic unrolls to a flat
+# element_at/multiply/add expression that compiles into codegen.
+# Exact-equality invariants (results must stay bit-identical to the
+# fold):
+#   * identical operation ORDER: lit(0.0) + x1*y1 + x2*y2 + ... is the
+#     fold's own left-associated accumulation;
+#   * identical casts: per-element float→double widening == casting
+#     the whole array first (the element cast is applied BEFORE the
+#     multiply, as in the fold);
+#   * every use is guarded by when(size(v) == dim, static).otherwise(
+#     fold), so rows whose vectors do NOT have the probed dimension
+#     (ragged or null vectors) take the original fold — no new ANSI
+#     out-of-bounds errors, same null propagation.
+def _dot_static(a: Column, b: Column, dim: int) -> Column:
+    expr = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        expr = expr + (
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        )
+    return expr
+
+
+def _normsq_static(a: Column, dim: int) -> Column:
+    expr = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        expr = expr + x * x
+    return expr
+
+
+def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """dot(a, b) over float/double arrays, cast-to-double-first
+    semantics; unrolled codegen path when both sides have `dim`."""
+    fold = _dot(a.cast("array<double>"), b.cast("array<double>"))
+    if dim is None:
+        return fold
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), _dot_static(a, b, dim)
+    ).otherwise(fold)
+
+
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    """sqrt(sum x²) with the same guard/fallback contract as dot_col."""
+    fold = F.aggregate(
+        F.transform(a.cast("array<double>"), lambda x: x * x),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    if dim is None:
+        return F.sqrt(fold)
+    return F.sqrt(
+        F.when(F.size(a) == dim, _normsq_static(a, dim)).otherwise(fold)
+    )
+
+
+def probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimension from ONE row (limit-1 scan — cheap at any
+    scale). None for empty/null-vector frames → callers keep the fold
+    path; rows that disagree with the probed dim are caught row-wise
+    by the when-guards above."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is None or row["n"] is None or row["n"] <= 0:
+        return None
+    return int(row["n"])
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     # cast to double BEFORE multiplying: float32 products poison the
     # sum with ~1e-7 noise, enough to flip near-tie rankings and
     # diverge from a double-precision oracle
-    a = a.cast("array<double>")
-    b = b.cast("array<double>")
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return dot_col(a, b, dim) / (norm_col(a, dim) * norm_col(b, dim))
 
 
 def cosine_topk(
@@ -57,15 +125,33 @@ def cosine_topk(
     """Exact top-k neighbors for each query over the corpus
     (self-matches excluded). → (query_id, neighbor_id, score, rank).
     Deterministic tie-break: score desc, neighbor_id asc."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # per-SIDE norm precompute: ||q|| is evaluated once per query row
+    # and ||c|| once per corpus row (in the projections below the
+    # join) instead of once per PAIR — the score dot/(qn*cn) is the
+    # same expression values in the same order as the inline
+    # cosine(), so results are bit-identical (guide §1.2).
+    dim = probe_dim(queries, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col), dim).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col), dim).alias("__cn"),
+    )
     scored = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                dot_col(F.col("qv"), F.col("cv"), dim)
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -83,23 +169,52 @@ def _centroid_literal_array(centroids: DataFrame, vec_col: str) -> Column:
     driver-side. Centroids small enough to broadcast are small enough
     to serialize as plan literals; beyond ~10^4 centroids switch to a
     broadcast-join + max_by aggregation instead."""
+    arr, _dim = _centroid_literal_array_with_dim(centroids, vec_col)
+    return arr
+
+
+def _centroid_literal_array_with_dim(
+    centroids: DataFrame, vec_col: str
+) -> tuple[Column, int | None]:
+    """_centroid_literal_array plus the centroid dimension when every
+    collected centroid agrees on it (None otherwise) — the collect
+    that builds the plan literal already holds the vectors, so the
+    static-dot fast path gets its dimension for free (no extra job)."""
     import math
 
     rows = centroids.select("centroid_id", F.col(vec_col)).collect()
     if not rows:
         raise ValueError("empty centroid table")
     cents = []
+    dims = set()
     for r in sorted(rows, key=lambda r: r["centroid_id"]):
         v = [float(x) for x in r[vec_col]]
+        dims.add(len(v))
         nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        # ONE parsed SQL expression per centroid instead of per-element
+        # Column construction: building lit(list-of-64) via the Column
+        # API costs ~65 py4j round-trips per centroid (~0.5-1s of plan
+        # BUILD time at 40 centroids, re-paid on every query
+        # invocation); the SQL text parses in one JVM call. repr()
+        # doubles round-trip exactly through the SQL parser
+        # (shortest-repr → Double.parseDouble), python ints map to
+        # BIGINT on both paths, so the literal VALUES — and therefore
+        # every downstream score — are bit-identical to the old form.
+        arr_sql = ",".join(_sql_double(x) for x in v)
         cents.append(
-            F.struct(
-                F.lit(int(r["centroid_id"])).alias("cid"),
-                F.lit(v).cast("array<double>").alias("v"),
-                F.lit(nrm).alias("nrm"),
-            )
+            f"named_struct('cid', {int(r['centroid_id'])}L, "
+            f"'v', array({arr_sql}), 'nrm', {_sql_double(nrm)})"
         )
-    return F.array(*cents)
+    dim = dims.pop() if len(dims) == 1 and 0 not in dims else None
+    return F.expr("array(" + ",".join(cents) + ")"), dim
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal for a python float (repr round-trips;
+    D suffix pins DoubleType; infinities/NaN via CAST)."""
+    if x != x or x in (float("inf"), float("-inf")):
+        return f"CAST('{x!r}' AS DOUBLE)"
+    return f"{x!r}D"
 
 
 def _centroid_rank_structs(vec: Column, cent_arr: Column) -> Column:
@@ -108,7 +223,15 @@ def _centroid_rank_structs(vec: Column, cent_arr: Column) -> Column:
     vector's own norm is a positive per-row constant, so dividing by
     it preserves both order and ties). Struct comparison is
     lexicographic, so array_max picks (highest sim, then lowest
-    centroid id) — the same tie-break as the window it replaces."""
+    centroid id) — the same tie-break as the window it replaces.
+
+    Deliberately the HOF fold, NOT a dot_col static unroll: inside a
+    transform lambda everything is interpreted anyway (HOFs are
+    outside codegen), so unrolling buys nothing per row while
+    multiplying the expression tree by n_centroids — measured as a
+    net SLOWDOWN (optimizer walks a ~18k-node Project per query
+    build). The static path is for flat, codegen-reachable contexts
+    (candidate scoring) only."""
     vd = vec.cast("array<double>")
     return F.transform(
         cent_arr,
@@ -129,12 +252,28 @@ def cosine_pairs_exact(
     """→ (a, b, cos) for ALL pairs with cosine ≥ threshold, a < b.
     O(N²) by definition — the exact/oracle path of embedding near-dup
     dedup; cosine_neardup_pairs is the bucketed scale path."""
-    l = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    r = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # norms precomputed per SIDE (not per pair) + static-dim dot —
+    # same values in the same order as the inline cosine()
+    dim = probe_dim(df, vec_col)
+    l = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        norm_col(F.col(vec_col), dim).alias("__na"),
+    )
+    r = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        norm_col(F.col(vec_col), dim).alias("__nb"),
+    )
     return (
         l.crossJoin(r)
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select(
+            "a", "b",
+            F.round(
+                dot_col(F.col("va"), F.col("vb"), dim)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -162,11 +301,7 @@ def hyperplane_signature(
         # assert_true returns null on pass; coalescing it under the
         # size expression keeps the check inside the fold range so
         # column pruning cannot drop it
-        checked = F.assert_true(
-            F.size(vd) > 0,
-            F.lit("hyperplane_signature: vector must be non-null and non-empty"),
-        )
-        upper = F.coalesce(checked.cast("int"), F.size(vd)) - 1
+        upper = F.coalesce(_hyperplane_empty_guard(vd).cast("int"), F.size(vd)) - 1
     else:
         upper = F.lit(dim - 1)
     dims = F.sequence(F.lit(0), upper)
@@ -184,6 +319,13 @@ def hyperplane_signature(
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda i: F.when(plane_dot(i) >= 0, 1).otherwise(0),
+    )
+
+
+def _hyperplane_empty_guard(vd: Column) -> Column:
+    return F.assert_true(
+        F.size(vd) > 0,
+        F.lit("hyperplane_signature: vector must be non-null and non-empty"),
     )
 
 
@@ -211,9 +353,12 @@ def cosine_neardup_pairs(
 
     assert n_bits % n_bands == 0
     r = n_bits // n_bands
-    # dim=None stays plan-side: hyperplane_signature folds over
-    # F.size(v) per row, so no driver-side first() at plan time
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # dim=None stays plan-side for the signature (the assert-guarded
+    # fold keeps the named empty-vector error, ADVICE r6); the probed
+    # dimension feeds only the flat, codegen-reachable verification
+    # dot below
+    dim_hint = probe_dim(base, "v") if dim is None else None
     sig = hyperplane_signature(F.col("v"), dim, n_bits, seed)
     # signature materialized under the Generate (same inlining trap as
     # the minhash bands — see link.banded_rows) and EAGERLY pinned:
@@ -233,11 +378,27 @@ def cosine_neardup_pairs(
         .select("pr.a", "pr.b")
         .distinct()
     )
-    la = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    lb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    # verification with per-side precomputed norms + static-dim dot:
+    # same expression values in the same order as the inline cosine()
+    vdim = dim if dim is not None else dim_hint
+    la = base.select(
+        F.col("id").alias("a"), F.col("v").alias("va"),
+        norm_col(F.col("v"), vdim).alias("__na"),
+    )
+    lb = base.select(
+        F.col("id").alias("b"), F.col("v").alias("vb"),
+        norm_col(F.col("v"), vdim).alias("__nb"),
+    )
     return (
         cand.join(la, "a").join(lb, "b")
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select(
+            "a", "b",
+            F.round(
+                dot_col(F.col("va"), F.col("vb"), vdim)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -583,10 +744,11 @@ def ivf_topk(
         )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     if assign == "join":
+        dim = probe_dim(corpus, vec_col)
         corpus_assigned = assign_clusters_join(corpus, cents, id_col, vec_col)
         probes = _probe_clusters_fold(q, _centroids_prepped(cents, vec_col), nprobe)
     else:
-        cent_arr = _centroid_literal_array(cents, vec_col)
+        cent_arr, dim = _centroid_literal_array_with_dim(cents, vec_col)
         corpus_assigned = corpus.withColumn(
             "cluster_id",
             F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))["cid"],
@@ -603,16 +765,34 @@ def ivf_topk(
             "query_id", "qv", F.explode(top_probes.getField("cid")).alias("cluster_id")
         )
 
-    cand = probes.join(
+    # candidate scoring with per-SIDE precomputed norms: ||c|| is
+    # evaluated once per corpus row (below the join) and ||q|| once
+    # per probe row, instead of once per CANDIDATE pair; the score
+    # dot/(qn*cn) evaluates the same expressions in the same order as
+    # the inline cosine(), so values are bit-identical.
+    cand = probes.withColumn("__qn", norm_col(F.col("qv"), dim)).join(
         corpus_assigned.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cluster_id"
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_col(F.col(vec_col), dim).alias("__cn"),
+            "cluster_id",
         ),
         "cluster_id",
     ).where(F.col("query_id") != F.col("neighbor_id"))
+    # no dropDuplicates: every (query, neighbor) appears at most once
+    # by construction — a corpus row is assigned to exactly ONE
+    # cluster and each query's probe list holds DISTINCT cluster ids
+    # (top-nprobe of distinct centroids; the nprobe ≥ C short-circuit
+    # emits each centroid once) — so the dedup was a pure extra
+    # Exchange+Aggregate over the candidate set
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+        F.round(
+            dot_col(F.col("qv"), F.col("cv"), dim)
+            / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("score"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

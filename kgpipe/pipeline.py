@@ -189,7 +189,11 @@ def _collect_counters(io: TableIO, log: CheckpointLog) -> dict:
     # the LSH recall budget (SURVEY.md §6 P/R ≥ 0.95): how many
     # buckets the skew guard dropped and how many URIs sat inside
     # them — persisted by the link stage, so it survives resume
-    if io.exists("link_bucket_stats"):
+    fast = io.read_small_rows("link_bucket_stats")
+    if fast is not None:
+        if fast:
+            counters["lsh_bucket_stats"] = dict(fast[0])
+    elif io.exists("link_bucket_stats"):
         row = io.read("link_bucket_stats", LSH_STATS_DDL).collect()
         if row:
             counters["lsh_bucket_stats"] = row[0].asDict()
@@ -428,25 +432,25 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
             # drop budget (ids_in_dropped bounds the pairs the bucket
             # cap can cost). One extra pass over the cheap URI fold.
             stats = neardup_bucket_stats(uris, "uri", max_bucket=cfg.lsh_max_bucket)
-        io.write(stats, "link_bucket_stats", mode="overwrite")
+        io.write_small(stats, "link_bucket_stats")
         edges = explicit.union(near)
     else:
         edges = explicit
-        io.write(
+        io.write_small(
             spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
-            "link_bucket_stats", mode="overwrite",
+            "link_bucket_stats",
         )
 
-    # materialize the linked edge set once: it is consumed three ways
-    # (node universe, CC symmetrization, star-forest extraction), and
-    # each reference would otherwise recompute the full normalize +
-    # distinct derivation from the triples scan. persist, not
-    # localCheckpoint — checkpointing window-bearing plans (the LSH
-    # linker path) trips a Spark attribute-resolution bug.
+    # materialize the linked edge set once: it is consumed repeatedly
+    # (CC symmetrization, star-forest extraction), and each reference
+    # would otherwise recompute the full normalize + distinct
+    # derivation from the triples scan. persist, not localCheckpoint —
+    # checkpointing window-bearing plans (the LSH linker path) trips a
+    # Spark attribute-resolution bug. No count() here: CC's own first
+    # action populates the cache — the count was one extra pass.
     from pyspark.storagelevel import StorageLevel
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
     nodes = edges.select(F.col("src").alias("uri")).union(
         edges.select(F.col("dst").alias("uri"))
     )
@@ -862,7 +866,7 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
         )
     else:
         stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
-    io.write(stats, "link_bucket_stats", mode="overwrite")
+    io.write_small(stats, "link_bucket_stats")
     # url index LAST: a crash anywhere above re-detects this delta
     io.write(
         new_urls.withColumn("batch_fp", F.lit(batch_fp)),
@@ -973,7 +977,7 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
         )
     else:
         stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
-    io.write(stats, "link_bucket_stats", mode="overwrite")
+    io.write_small(stats, "link_bucket_stats")
     io.drop("linked_urls")
     io.write(
         cur_urls.withColumn("batch_fp", F.lit(batch_fp)),
