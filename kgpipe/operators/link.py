@@ -380,7 +380,9 @@ def verified_neardup_edges(
     return verified.union(exact).distinct()
 
 
-def exact_normalized_edges(df: DataFrame, id_col: str = "uri") -> DataFrame:
+def exact_normalized_edges(
+    df: DataFrame, id_col: str = "uri", input_distinct: bool = False
+) -> DataFrame:
     """Precision-first URI dedup: URIs identical AFTER normalization
     are duplicates, linked as a star around the min URI. One groupBy
     on the normal form (map-side combine on min; bucket sizes are the
@@ -388,10 +390,18 @@ def exact_normalized_edges(df: DataFrame, id_col: str = "uri") -> DataFrame:
     for entity identity. Jaccard-based near-dup linking
     (verified_neardup_edges) is opt-in because a 1-character id
     difference (gnd/123 vs gnd/124) is a DIFFERENT entity but a
-    high-Jaccard string."""
+    high-Jaccard string.
+
+    input_distinct=True skips the internal dedup exchange when the
+    caller already guarantees one row per URI (the pipeline's URI
+    universe is a distinct() — re-distincting (uri, norm) was a
+    second shuffle of the same keys, since norm is a pure function
+    of uri)."""
     base = df.select(
         F.col(id_col).alias("uri"), normalize_uri(F.col(id_col)).alias("norm")
-    ).distinct()
+    )
+    if not input_distinct:
+        base = base.distinct()
     hubs = base.groupBy("norm").agg(F.min("uri").alias("hub"), F.count(F.lit(1)).alias("n"))
     return (
         base.join(hubs.where(F.col("n") > 1), "norm")

@@ -160,15 +160,31 @@ def _source_manifest(pages: DataFrame) -> str | None:
     sc = pages.sparkSession
     jvm = sc._jvm
     conf = sc._jsc.hadoopConfiguration()
-    ents = []
-    for f in sorted(files):
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        try:
-            fs = p.getFileSystem(conf)
-            st = fs.getFileStatus(p)
-            ents.append([f, int(st.getLen()), int(st.getModificationTime())])
-        except Exception:
-            return None
+    # one listStatus per PARENT DIRECTORY instead of one getFileStatus
+    # py4j round-trip per file: a 64-file table costs 2 JVM calls, not
+    # 64 (~0.2s of driver latency inside the timed pipeline region)
+    from collections import defaultdict
+
+    by_dir: dict[str, list[str]] = defaultdict(list)
+    for f in files:
+        d, _, base = f.rpartition("/")
+        by_dir[d].append(base)
+    stats: dict[str, tuple[int, int]] = {}
+    try:
+        for d, names in by_dir.items():
+            dp = jvm.org.apache.hadoop.fs.Path(d)
+            fs = dp.getFileSystem(conf)
+            for st in fs.listStatus(dp):
+                p = st.getPath()
+                stats[f"{d}/{p.getName()}"] = (
+                    int(st.getLen()), int(st.getModificationTime())
+                )
+        ents = []
+        for f in sorted(files):
+            ln, mt = stats[f]
+            ents.append([f, ln, mt])
+    except Exception:
+        return None
     plan = re.sub(r"#\d+", "#", pages._jdf.queryExecution().logical().toString())
     ents.append(plan)
     return hashlib.sha256(json.dumps(ents).encode()).hexdigest()
@@ -414,7 +430,16 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     if (0, fp[0], fp[1]) in done and io.exists("canonical_map"):
         return
 
-    explicit = sameas_edges_from_triples(triples, cfg.sameas_pred)
+    # non-distinct sameAs projection: connected_components dedups its
+    # input (driver union-find is idempotent on duplicates; the star
+    # rounds re-distinct), and the node universe distincts later — the
+    # explicit .distinct() here was a whole exchange spent on rows CC
+    # was about to dedup anyway
+    explicit = (
+        triples.where(F.col("p") == cfg.sameas_pred)
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
     if cfg.neardup_link:
         # explode, not union-of-selects: the union form scans the
         # triples table twice to build the same multiset
@@ -422,7 +447,10 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
             F.explode(F.array("s", "o")).alias("uri")
         ).distinct()
         if cfg.jaccard_threshold >= 1.0:
-            near = exact_normalized_edges(uris, "uri")
+            # input_distinct: uris is already one row per URI — the
+            # operator's internal (uri, norm) dedup would re-shuffle
+            # the same key set
+            near = exact_normalized_edges(uris, "uri", input_distinct=True)
             stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
         else:
             near = verified_neardup_edges(
