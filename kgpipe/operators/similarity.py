@@ -55,45 +55,89 @@ def _norm(a: Column) -> Column:
 #     fold), so rows whose vectors do NOT have the probed dimension
 #     (ragged or null vectors) take the original fold — no new ANSI
 #     out-of-bounds errors, same null propagation.
-def _dot_static(a: Column, b: Column, dim: int) -> Column:
-    expr = F.lit(0.0).cast("double")
-    for i in range(1, dim + 1):
-        expr = expr + (
-            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        )
-    return expr
+def _dot_static_sql(a_name: str, b_name: str, dim: int) -> str:
+    # 0.0D + p1 + p2 + ... parses to the fold's own left-associated
+    # accumulation; per-element CAST(... AS DOUBLE) == the fold's
+    # array-level float→double widening
+    terms = "".join(
+        f" + (CAST(element_at(`{a_name}`, {i}) AS DOUBLE) * "
+        f"CAST(element_at(`{b_name}`, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return "0.0D" + terms
 
 
-def _normsq_static(a: Column, dim: int) -> Column:
-    expr = F.lit(0.0).cast("double")
-    for i in range(1, dim + 1):
-        x = F.element_at(a, i).cast("double")
-        expr = expr + x * x
-    return expr
+def _normsq_static_sql(a_name: str, dim: int) -> str:
+    terms = "".join(
+        f" + (CAST(element_at(`{a_name}`, {i}) AS DOUBLE) * "
+        f"CAST(element_at(`{a_name}`, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return "0.0D" + terms
 
 
 def dot_col(a: Column, b: Column, dim: int | None = None) -> Column:
     """dot(a, b) over float/double arrays, cast-to-double-first
-    semantics; unrolled codegen path when both sides have `dim`."""
+    semantics; unrolled codegen path when both sides have `dim`.
+    Column-API variant for arbitrary expressions — operators with
+    plain named columns use dot_named (one SQL parse instead of
+    ~400 py4j calls per build)."""
+    fold = _dot(a.cast("array<double>"), b.cast("array<double>"))
+    if dim is None:
+        return fold
+    static = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        static = static + (
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        )
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), static).otherwise(fold)
+
+
+def dot_named(a_name: str, b_name: str, dim: int | None = None) -> Column:
+    """dot_col over two NAMED columns; the unrolled branch is built by
+    one parsed SQL expression, so plan-BUILD cost stays flat in dim
+    (construction of these trees via the Column API measured ~0.5s per
+    query build at dim 64 — paid per bench repetition)."""
+    a, b = F.col(a_name), F.col(b_name)
     fold = _dot(a.cast("array<double>"), b.cast("array<double>"))
     if dim is None:
         return fold
     return F.when(
-        (F.size(a) == dim) & (F.size(b) == dim), _dot_static(a, b, dim)
+        (F.size(a) == dim) & (F.size(b) == dim),
+        F.expr(_dot_static_sql(a_name, b_name, dim)),
     ).otherwise(fold)
 
 
-def norm_col(a: Column, dim: int | None = None) -> Column:
-    """sqrt(sum x²) with the same guard/fallback contract as dot_col."""
-    fold = F.aggregate(
+def _norm_fold(a: Column) -> Column:
+    return F.aggregate(
         F.transform(a.cast("array<double>"), lambda x: x * x),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+
+
+def norm_col(a: Column, dim: int | None = None) -> Column:
+    """sqrt(sum x²) with the same guard/fallback contract as dot_col."""
+    fold = _norm_fold(a)
+    if dim is None:
+        return F.sqrt(fold)
+    static = F.lit(0.0).cast("double")
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        static = static + x * x
+    return F.sqrt(F.when(F.size(a) == dim, static).otherwise(fold))
+
+
+def norm_named(a_name: str, dim: int | None = None) -> Column:
+    """norm_col over a NAMED column via one parsed SQL expression."""
+    a = F.col(a_name)
+    fold = _norm_fold(a)
     if dim is None:
         return F.sqrt(fold)
     return F.sqrt(
-        F.when(F.size(a) == dim, _normsq_static(a, dim)).otherwise(fold)
+        F.when(
+            F.size(a) == dim, F.expr(_normsq_static_sql(a_name, dim))
+        ).otherwise(fold)
     )
 
 
@@ -134,12 +178,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm_col(F.col(vec_col), dim).alias("__qn"),
+        norm_named(vec_col, dim).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        norm_col(F.col(vec_col), dim).alias("__cn"),
+        norm_named(vec_col, dim).alias("__cn"),
     )
     scored = (
         q.crossJoin(c)
@@ -148,7 +192,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot_col(F.col("qv"), F.col("cv"), dim)
+                dot_named("qv", "cv", dim)
                 / (F.col("__qn") * F.col("__cn")),
                 6,
             ).alias("score"),
@@ -257,11 +301,11 @@ def cosine_pairs_exact(
     dim = probe_dim(df, vec_col)
     l = df.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
-        norm_col(F.col(vec_col), dim).alias("__na"),
+        norm_named(vec_col, dim).alias("__na"),
     )
     r = df.select(
         F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
-        norm_col(F.col(vec_col), dim).alias("__nb"),
+        norm_named(vec_col, dim).alias("__nb"),
     )
     return (
         l.crossJoin(r)
@@ -269,7 +313,7 @@ def cosine_pairs_exact(
         .select(
             "a", "b",
             F.round(
-                dot_col(F.col("va"), F.col("vb"), dim)
+                dot_named("va", "vb", dim)
                 / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("cos"),
@@ -383,18 +427,18 @@ def cosine_neardup_pairs(
     vdim = dim if dim is not None else dim_hint
     la = base.select(
         F.col("id").alias("a"), F.col("v").alias("va"),
-        norm_col(F.col("v"), vdim).alias("__na"),
+        norm_named("v", vdim).alias("__na"),
     )
     lb = base.select(
         F.col("id").alias("b"), F.col("v").alias("vb"),
-        norm_col(F.col("v"), vdim).alias("__nb"),
+        norm_named("v", vdim).alias("__nb"),
     )
     return (
         cand.join(la, "a").join(lb, "b")
         .select(
             "a", "b",
             F.round(
-                dot_col(F.col("va"), F.col("vb"), vdim)
+                dot_named("va", "vb", vdim)
                 / (F.col("__na") * F.col("__nb")),
                 6,
             ).alias("cos"),
@@ -770,11 +814,11 @@ def ivf_topk(
     # per probe row, instead of once per CANDIDATE pair; the score
     # dot/(qn*cn) evaluates the same expressions in the same order as
     # the inline cosine(), so values are bit-identical.
-    cand = probes.withColumn("__qn", norm_col(F.col("qv"), dim)).join(
+    cand = probes.withColumn("__qn", norm_named("qv", dim)).join(
         corpus_assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            norm_col(F.col(vec_col), dim).alias("__cn"),
+            norm_named(vec_col, dim).alias("__cn"),
             "cluster_id",
         ),
         "cluster_id",
@@ -789,7 +833,7 @@ def ivf_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            dot_col(F.col("qv"), F.col("cv"), dim)
+            dot_named("qv", "cv", dim)
             / (F.col("__qn") * F.col("__cn")),
             6,
         ).alias("score"),
