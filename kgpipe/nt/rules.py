@@ -301,6 +301,17 @@ class PrefixRewriter:
         # dedupe keeping lpm priority order
         lpm_pats = list(dict.fromkeys(lpm_pats))
         self._lpm_rx = re.compile(_trie_regex(lpm_pats)) if lpm_pats else None
+        # joined-batch variant: (?m)^trie matches each line start of a
+        # newline-joined block, so ONE C-level sub pass rewrites a
+        # whole Arrow batch instead of one Python re call per row.
+        # Sound because rule prefixes come from whitespace-split
+        # fields (they can never contain a newline), so no pattern —
+        # and no replacement — crosses the artificial boundary; rows
+        # that themselves contain newlines are routed to the per-row
+        # path (see _sub_lpm/_sub_singlepass).
+        self._lpm_rx_ml = (
+            re.compile("(?m)^(?:" + _trie_regex(lpm_pats) + ")") if lpm_pats else None
+        )
 
     # -- scalar (ground truth, used in property tests) ------------------
     def rewrite_term(self, term: str) -> str:
@@ -353,11 +364,26 @@ class PrefixRewriter:
         seq = self._rewrite_sequential_scalar
         out = col.copy()
         mask = col.notna()
-        if mask.any():
-            out.loc[mask] = [
-                seq(x) if suspect.search(x) else rx.sub(fn, x)
-                for x in col.loc[mask]
-            ]
+        if not mask.any():
+            return out
+        vals = col.loc[mask].tolist()
+        # joined-batch fast path: ONE C-level sub over the whole batch
+        # joined with '\n' instead of a Python re call per row. Sound
+        # because patterns and replacements come from whitespace-split
+        # rule fields (they cannot contain '\n'), so no match or
+        # substitution crosses the artificial row boundary. Guarded:
+        # rows containing a literal newline (would corrupt the
+        # re-split) or ANY suspect hit in the block (the block scan is
+        # conservative — a cross-boundary false positive only routes
+        # the batch to the exact per-row path) fall back below.
+        if not any("\n" in x for x in vals):
+            joined = "\n".join(vals)
+            if suspect.search(joined) is None:
+                out.loc[mask] = rx.sub(fn, joined).split("\n")
+                return out
+        out.loc[mask] = [
+            seq(x) if suspect.search(x) else rx.sub(fn, x) for x in vals
+        ]
         return out
 
     def _rewrite_sequential_scalar(self, term: str) -> str:
@@ -367,13 +393,26 @@ class PrefixRewriter:
 
     def _sub_lpm(self, col: pd.Series) -> pd.Series:
         rx, lookup = self._lpm_rx, self._lookup
+        out = col.copy()
+        mask = col.notna()
+        if not mask.any():
+            return out
+        vals = col.loc[mask].tolist()
+        # joined-batch fast path: (?m)^trie can only match at row
+        # starts of the '\n'-joined block (patterns are newline-free,
+        # so a match never reaches the next row, and after an anchored
+        # match there is no further '^' before the next row) — one
+        # C-level sub replaces the per-row rx.match loop with
+        # identical results. Rows containing a literal newline fall
+        # back to the per-row path.
+        if self._lpm_rx_ml is not None and not any("\n" in x for x in vals):
+            fn = lambda m: lookup[m.group(0)]  # noqa: E731
+            out.loc[mask] = self._lpm_rx_ml.sub(fn, "\n".join(vals)).split("\n")
+            return out
 
         def one(x: str) -> str:
             m = rx.match(x)
             return lookup[m.group(0)] + x[m.end() :] if m else x
 
-        out = col.copy()
-        mask = col.notna()
-        if mask.any():
-            out.loc[mask] = [one(x) for x in col.loc[mask]]
+        out.loc[mask] = [one(x) for x in vals]
         return out
