@@ -352,7 +352,7 @@ def minhash_miss_attribution(
 ) -> DataFrame:
     """Attribute each missed near-dup pair (a ground-truth pair the
     LSH query failed to emit) to its cause → (a, b, cause) with cause
-    ∈ {'cap_dropped', 'banding_miss'}:
+    ∈ {'cap_dropped', 'banding_miss', 'anomaly'}:
 
       cap_dropped  — the pair DID share ≥1 LSH bucket, but every
                      shared bucket exceeded max_bucket and was dropped
@@ -362,6 +362,11 @@ def minhash_miss_attribution(
                      irreducible probabilistic miss of the banding
                      scheme, bounded by (1 - J^r)^b. Tunable only by
                      changing the family (more hashes / wider bands).
+      anomaly      — the pair shared an UNDER-cap bucket yet was still
+                     missed: a pair that should have been emitted,
+                     i.e. a bug signal in the candidate/verification
+                     path, not a tuning issue. Callers keying on the
+                     cause set must not drop it silently (ADVICE r7).
 
     Rebuilds the banded rows under the SAME family parameters as
     minhash_dup_pairs and classifies via two joins on (band, bh) —

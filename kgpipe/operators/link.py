@@ -183,8 +183,9 @@ def capped_buckets(
     bucket keys — count() partial-aggregates map-side, so its
     exchange carries at most one row per (bucket, map partition) and
     its output is the (normally tiny) oversize key set, materialized
-    EAGERLY via localCheckpoint — this phase ran at action time
-    anyway, and materializing it yields a free driver-side key count;
+    EAGERLY via localCheckpoint with an Observation riding the same
+    job for the driver-side key count (a separate count() job per
+    family query before r8);
     (2) an anti-join drops those keys from the banded rows: BROADCAST
     (map-side, no exchange of banded rows) while the key set is ≤
     broadcast_key_limit, falling back to a shuffled sort-merge
