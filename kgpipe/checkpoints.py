@@ -91,39 +91,66 @@ class CheckpointLog:
     def read(self) -> DataFrame:
         return self.io.spark.createDataFrame(self._load(), CHECKPOINT_SCHEMA)
 
+    def completed_set(self, stage: str) -> set[tuple]:
+        """Driver-side {(part_id, fingerprint, n_in)} of partitions
+        already done for a stage — the ledger is tiny, so set logic
+        never needs a Spark job (a createDataFrame+collect round-trip
+        costs a full job's fixed latency per stage). n_in is part of
+        the identity: the xor fingerprint of a multiset cancels rows
+        with even multiplicity, so two inputs differing by an even
+        number of copies of existing rows would collide — the row
+        count breaks the tie."""
+        return {
+            (r[1], r[2], r[3])
+            for r in self._load()
+            if r[0] == stage and r[6] == "done"
+        }
+
     def completed(self, stage: str) -> DataFrame:
-        """(part_id, fingerprint, n_in) of partitions already done for
-        a stage. n_in is part of the identity: the xor fingerprint of
-        a multiset cancels rows with even multiplicity, so two inputs
-        differing by an even number of copies of existing rows would
-        collide — the row count breaks the tie."""
-        done = sorted(
-            {
-                (r[1], r[2], r[3])
-                for r in self._load()
-                if r[0] == stage and r[6] == "done"
-            }
-        )
+        """completed_set as a DataFrame, for join-shaped callers."""
         return self.io.spark.createDataFrame(
-            done, "part_id int, fingerprint long, n_in long"
+            sorted(self.completed_set(stage)),
+            "part_id int, fingerprint long, n_in long",
         )
+
+    def counter_sums(self) -> dict[str, dict[str, int]]:
+        """Per-stage {n_in, n_out, n_err} sums over the ledger —
+        driver-side Python over the cached rows, same arithmetic as a
+        groupBy('stage').sum() over read() (which cost one aggregation
+        job per pipeline run for a <100-row local relation)."""
+        out: dict[str, dict[str, int]] = {}
+        for r in self._load():
+            c = out.setdefault(r[0], {"n_in": 0, "n_out": 0, "n_err": 0})
+            c["n_in"] += r[3]
+            c["n_out"] += r[4]
+            c["n_err"] += r[5]
+        return out
+
+    def mark_done_rows(self, stage: str, rows: list[tuple]) -> None:
+        """rows: [(part_id, fingerprint, n_in, n_out, n_err)] —
+        driver-local, appended to the ledger without building a Spark
+        DataFrame (write_small_rows). Disk first, then cache: a lost
+        cache only ever FORGETS completed work."""
+        ts = time.time()
+        srows = [
+            (stage, r[0], r[1], r[2], r[3], r[4], "done", ts) for r in rows
+        ]
+        self.io.write_small_rows(srows, CHECKPOINT_SCHEMA, CHECKPOINT_TABLE,
+                                 mode="append")
+        if self._rows is not None:
+            self._rows.extend(srows)
 
     def mark_done(self, stage: str, stats: DataFrame) -> None:
         """stats: (part_id, fingerprint, n_in, n_out, n_err)."""
-        ts = time.time()
-        srows = [
-            (stage, r[0], r[1], r[2], r[3], r[4], "done", ts)
-            for r in stats.select(
-                "part_id", "fingerprint", "n_in", "n_out", "n_err"
-            ).collect()
-        ]
-        self.io.write_small(
-            self.io.spark.createDataFrame(srows, CHECKPOINT_SCHEMA),
-            CHECKPOINT_TABLE,
-            mode="append",
+        self.mark_done_rows(
+            stage,
+            [
+                (r[0], r[1], r[2], r[3], r[4])
+                for r in stats.select(
+                    "part_id", "fingerprint", "n_in", "n_out", "n_err"
+                ).collect()
+            ],
         )
-        if self._rows is not None:
-            self._rows.extend(srows)
 
     def pending_partitions(self, stage: str, inputs: DataFrame, key_col: str) -> DataFrame:
         """Filter `inputs` (must carry part_id) down to rows in

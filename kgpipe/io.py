@@ -173,15 +173,61 @@ class TableIO:
             return None
         return root
 
+    @staticmethod
+    def _pa_type(simple: str):
+        """Spark type name → pyarrow type for the tiny-table fast
+        path. Covers both the schema.simpleString() names (bigint)
+        and their DDL aliases (long, integer) — a name outside the
+        map routes the caller to the Spark writer."""
+        import pyarrow as pa
+
+        return {
+            "int": pa.int32(), "integer": pa.int32(),
+            "bigint": pa.int64(), "long": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(),
+        }.get(simple)
+
     def write_small(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
         """Write a SMALL DataFrame (collected to the driver) as one
         parquet file. Semantics match write(): overwrite replaces the
         table, append adds rows. Falls back to the Spark writer off
         the local filesystem or in catalog mode."""
-        d = None if self.catalog is not None else self._local_dir(name)
-        if d is None:
+        pairs = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if self.catalog is not None or self._local_dir(name) is None or any(
+            self._pa_type(t) is None for _, t in pairs
+        ):
             self.write(df, name, mode=mode)
             return
+        self._write_small_local(df.collect(), pairs, name, mode)
+
+    def write_small_rows(
+        self, rows: list[tuple], ddl: str, name: str, mode: str = "overwrite"
+    ) -> None:
+        """write_small for DRIVER-LOCAL rows: no Spark DataFrame is
+        built on the fast path at all. A createDataFrame(rows) +
+        collect() round-trip on tiny local data costs a full job's
+        fixed latency (~0.3-0.7s measured on local[32]); the ledger
+        and stats tables pay that several times per pipeline run for
+        kilobytes of data. Same on-disk bytes as write_small (same
+        schema mapping, same atomic rename). Falls back to the Spark
+        writer off the local filesystem / in catalog mode / for types
+        outside the fast-path map — semantics preserved everywhere."""
+        pairs = [
+            (c.rsplit(None, 1)[0], c.rsplit(None, 1)[1])
+            for c in (p.strip() for p in ddl.split(","))
+        ]
+        if self.catalog is not None or self._local_dir(name) is None or any(
+            self._pa_type(t) is None for _, t in pairs
+        ):
+            self.write(self.spark.createDataFrame(rows, ddl), name, mode=mode)
+            return
+        self._write_small_local(rows, pairs, name, mode)
+
+    def _write_small_local(
+        self, rows, pairs: list[tuple[str, str]], name: str, mode: str
+    ) -> None:
         import os
         import shutil
         import uuid
@@ -189,21 +235,9 @@ class TableIO:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = df.collect()
-        fields = []
-        for f in df.schema.fields:
-            t = f.dataType.simpleString()
-            pa_t = {
-                "int": pa.int32(), "bigint": pa.int64(), "string": pa.string(),
-                "double": pa.float64(), "float": pa.float32(),
-                "boolean": pa.bool_(),
-            }.get(t)
-            if pa_t is None:  # unsupported type → generic writer
-                self.write(df, name, mode=mode)
-                return
-            fields.append(pa.field(f.name, pa_t))
-        schema = pa.schema(fields)
-        cols = [[r[i] for r in rows] for i in range(len(fields))]
+        d = self._local_dir(name)
+        schema = pa.schema([pa.field(n, self._pa_type(t)) for n, t in pairs])
+        cols = [[r[i] for r in rows] for i in range(len(pairs))]
         table = pa.Table.from_arrays(
             [pa.array(c, type=f.type) for c, f in zip(cols, schema)], schema=schema
         )

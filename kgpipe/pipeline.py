@@ -191,17 +191,10 @@ def _source_manifest(pages: DataFrame) -> str | None:
 
 
 def _collect_counters(io: TableIO, log: CheckpointLog) -> dict:
-    counters = {
-        r["stage"]: {"n_in": r["n_in"], "n_out": r["n_out"], "n_err": r["n_err"]}
-        for r in log.read()
-        .groupBy("stage")
-        .agg(
-            F.sum("n_in").alias("n_in"),
-            F.sum("n_out").alias("n_out"),
-            F.sum("n_err").alias("n_err"),
-        )
-        .collect()
-    }
+    # driver-side sums over the (tiny) ledger rows — the former
+    # groupBy over log.read() spawned one aggregation job per
+    # pipeline run for a <100-row local relation
+    counters = log.counter_sums()
     # the LSH recall budget (SURVEY.md §6 P/R ≥ 0.95): how many
     # buckets the skew guard dropped and how many URIs sat inside
     # them — persisted by the link stage, so it survives resume
@@ -329,18 +322,39 @@ def _stage_extract_parse_abbrev(
 
     # ONE fingerprint job; the partition ledger is n_parts rows, so
     # resume set-logic happens driver-side — no broadcast join, no
-    # second fingerprint pass for the checkpoint stats
-    fps_rows = partition_fingerprints(src, "url").collect()
-    completed = {
-        (r["part_id"], r["fingerprint"], r["n_in"])
-        for r in log.completed(stage).collect()
-    }
-    pending = sorted(
-        r["part_id"] for r in fps_rows
-        if (r["part_id"], r["fingerprint"], r["n_in"]) not in completed
-    )
-    if not pending and io.exists("triples_raw"):
-        return None
+    # second fingerprint pass for the checkpoint stats.
+    completed = log.completed_set(stage)
+    fps_thread = None
+    fps_box: dict = {}
+    if not completed and not io.exists("triples_raw"):
+        # Fresh warehouse (the common first-run/bench shape): with an
+        # empty ledger EVERY partition is pending regardless of what
+        # the fingerprints turn out to be, so the input-fingerprint
+        # scan and the fused job are independent — overlap them
+        # (guide §2.6): the scan's tasks back-fill executor slots
+        # while the fused job runs, and the thread is joined before
+        # the ledger stats are built from its rows. A thread failure
+        # surfaces before anything is marked done.
+        from pyspark import InheritableThread
+
+        def _fps_job():
+            try:
+                fps_box["rows"] = partition_fingerprints(src, "url").collect()
+            except BaseException as e:  # re-raised on join
+                fps_box["err"] = e
+
+        fps_thread = InheritableThread(target=_fps_job)
+        fps_thread.start()
+        fps_rows = None
+        pending = list(range(cfg.n_parts))
+    else:
+        fps_rows = partition_fingerprints(src, "url").collect()
+        pending = sorted(
+            r["part_id"] for r in fps_rows
+            if (r["part_id"], r["fingerprint"], r["n_in"]) not in completed
+        )
+        if not pending and io.exists("triples_raw"):
+            return None
     todo = src.where(F.col("part_id").isin(pending))
 
     # fused single-Python-stage operator: one worker per task, one
@@ -355,6 +369,17 @@ def _stage_extract_parse_abbrev(
     # part_id bounds open parquet writers to one per task.
     rows = rows.repartition(min(cfg.n_parts, len(pending)), "part_id")
     io.write(rows, "triples_raw", mode="overwrite", partition_by=["part_id"])
+
+    if fps_thread is not None:
+        fps_thread.join()
+        if "err" in fps_box:
+            raise fps_box["err"]
+        fps_rows = fps_box["rows"]
+        # same pending semantics as the serial path: only partitions
+        # that actually hold input rows carry ledger stats; part ids
+        # absent from the input match no rows in `todo` either, so
+        # the isin() over the full range wrote the same bytes.
+        pending = sorted(r["part_id"] for r in fps_rows)
 
     # stats AFTER the write succeeded: crash before this point leaves
     # the partitions unlogged → recomputed on resume. Counts come from
@@ -382,21 +407,17 @@ def _stage_extract_parse_abbrev(
         .collect()
     }
     pend = set(pending)
-    stats = spark.createDataFrame(
-        [
-            (
-                r["part_id"],
-                r["fingerprint"],
-                r["n_in"],
-                counts.get(r["part_id"], (0, 0, 0))[0],
-                counts.get(r["part_id"], (0, 0, 0))[1],
-            )
-            for r in fps_rows
-            if r["part_id"] in pend
-        ],
-        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
-    )
-    log.mark_done(stage, stats)
+    log.mark_done_rows(stage, [
+        (
+            r["part_id"],
+            r["fingerprint"],
+            r["n_in"],
+            counts.get(r["part_id"], (0, 0, 0))[0],
+            counts.get(r["part_id"], (0, 0, 0))[1],
+        )
+        for r in fps_rows
+        if r["part_id"] in pend
+    ])
     if completed or len(pend) < len(fps_rows):
         return None  # partial recompute: unseen partitions exist
     mask = (1 << 64) - 1
@@ -423,10 +444,7 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     the CC iteration is global, not per-partition."""
     stage = "link_canonicalize"
     fp = fp if fp is not None else _triples_fingerprint(triples)
-    done = {
-        (r["part_id"], r["fingerprint"], r["n_in"])
-        for r in log.completed(stage).collect()
-    }
+    done = log.completed_set(stage)
     if (0, fp[0], fp[1]) in done and io.exists("canonical_map"):
         return
 
@@ -451,7 +469,8 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
             # operator's internal (uri, norm) dedup would re-shuffle
             # the same key set
             near = exact_normalized_edges(uris, "uri", input_distinct=True)
-            stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
+            io.write_small_rows([(0, 0, 0, 0, 0)], LSH_STATS_DDL,
+                                "link_bucket_stats")
         else:
             near = verified_neardup_edges(
                 uris, "uri", cfg.jaccard_threshold, max_bucket=cfg.lsh_max_bucket
@@ -459,15 +478,15 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
             # observability: same banding the linker used → the LSH
             # drop budget (ids_in_dropped bounds the pairs the bucket
             # cap can cost). One extra pass over the cheap URI fold.
-            stats = neardup_bucket_stats(uris, "uri", max_bucket=cfg.lsh_max_bucket)
-        io.write_small(stats, "link_bucket_stats")
+            io.write_small(
+                neardup_bucket_stats(uris, "uri", max_bucket=cfg.lsh_max_bucket),
+                "link_bucket_stats",
+            )
         edges = explicit.union(near)
     else:
         edges = explicit
-        io.write_small(
-            spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL),
-            "link_bucket_stats",
-        )
+        io.write_small_rows([(0, 0, 0, 0, 0)], LSH_STATS_DDL,
+                            "link_bucket_stats")
 
     # materialize the linked edge set once: it is consumed repeatedly
     # (CC symmetrization, star-forest extraction), and each reference
@@ -490,11 +509,7 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     # cached blocks must not outlive the stage: the session is often
     # shared across pipeline runs (tests, notebooks)
     edges.unpersist(blocking=False)
-    stats = spark.createDataFrame(
-        [(0, fp[0], fp[1], n_out, 0)],
-        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
-    )
-    log.mark_done(stage, stats)
+    log.mark_done_rows(stage, [(0, fp[0], fp[1], n_out, 0)])
 
 
 NORM_HUBS_DDL = "norm string, hub string, batch_fp string"
@@ -888,24 +903,23 @@ def _stage_link_incremental(spark, triples, cfg, io: TableIO, log: CheckpointLog
         )
         # recall budget over the WHOLE index (old + this delta): an
         # index scan and one count aggregation — no signature recompute
-        stats = bucket_stats(
-            io.read("lsh_index", LSH_INDEX_DDL).select("uri", "band", "bh"),
-            cfg.lsh_max_bucket,
+        io.write_small(
+            bucket_stats(
+                io.read("lsh_index", LSH_INDEX_DDL).select("uri", "band", "bh"),
+                cfg.lsh_max_bucket,
+            ),
+            "link_bucket_stats",
         )
     else:
-        stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
-    io.write_small(stats, "link_bucket_stats")
+        io.write_small_rows([(0, 0, 0, 0, 0)], LSH_STATS_DDL,
+                            "link_bucket_stats")
     # url index LAST: a crash anywhere above re-detects this delta
     io.write(
         new_urls.withColumn("batch_fp", F.lit(batch_fp)),
         "linked_urls", mode="overwrite", partition_by=["batch_fp"],
     )
     io.write_json_atomic(LINK_CONFIG, {"key": _link_config_key(cfg)})
-    stats = spark.createDataFrame(
-        [(0, int(fp_row["fp"]), n_new, n_edges, 0)],
-        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
-    )
-    log.mark_done(stage, stats)
+    log.mark_done_rows(stage, [(0, int(fp_row["fp"]), n_new, n_edges, 0)])
 
 
 def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: CheckpointLog, stage):
@@ -1000,12 +1014,15 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
             banded_all.withColumn("batch_fp", F.lit(batch_fp)),
             "lsh_index", mode="overwrite", partition_by=["batch_fp"],
         )
-        stats = neardup_bucket_stats(
-            base.select("uri"), "uri", max_bucket=cfg.lsh_max_bucket
+        io.write_small(
+            neardup_bucket_stats(
+                base.select("uri"), "uri", max_bucket=cfg.lsh_max_bucket
+            ),
+            "link_bucket_stats",
         )
     else:
-        stats = spark.createDataFrame([(0, 0, 0, 0, 0)], LSH_STATS_DDL)
-    io.write_small(stats, "link_bucket_stats")
+        io.write_small_rows([(0, 0, 0, 0, 0)], LSH_STATS_DDL,
+                            "link_bucket_stats")
     io.drop("linked_urls")
     io.write(
         cur_urls.withColumn("batch_fp", F.lit(batch_fp)),
@@ -1013,11 +1030,7 @@ def _incremental_full_rebuild(spark, triples, cur_urls, cfg, io: TableIO, log: C
     )
     io.write_json_atomic(LINK_CONFIG, {"key": _link_config_key(cfg)})
     n_urls = cur_urls.count()
-    stats = spark.createDataFrame(
-        [(0, 0, n_urls, n_edges, 0)],
-        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
-    )
-    log.mark_done(stage, stats)
+    log.mark_done_rows(stage, [(0, 0, n_urls, n_edges, 0)])
 
 
 EDGES_INC_DDL = "canon_s string, p string, canon_o string, b_fp string, part_id int"
@@ -1382,20 +1395,13 @@ def _stage_materialize_incremental(spark, triples, cmap, cfg, io: TableIO, log: 
         MAT_STATE, {"n_buckets": cfg.n_buckets, "layout": MAT_LAYOUT_VERSION}
     )
     n_out = obs.get["n"]
-    stats = spark.createDataFrame(
-        [(0, 0, len(pending), n_out, 0)],
-        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
-    )
-    log.mark_done(stage, stats)
+    log.mark_done_rows(stage, [(0, 0, len(pending), n_out, 0)])
 
 
 def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLog, fp=None):
     stage = "materialize"
     fp = fp if fp is not None else _triples_fingerprint(triples)
-    done = {
-        (r["part_id"], r["fingerprint"], r["n_in"])
-        for r in log.completed(stage).collect()
-    }
+    done = log.completed_set(stage)
     if (0, fp[0], fp[1]) in done and io.exists("edges"):
         return
 
@@ -1432,8 +1438,4 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
             "edges", mode="overwrite", partition_by=["part_id"],
         )
     n_out = obs.get["n"]
-    stats = spark.createDataFrame(
-        [(0, fp[0], fp[1], n_out, 0)],
-        "part_id int, fingerprint long, n_in long, n_out long, n_err long",
-    )
-    log.mark_done(stage, stats)
+    log.mark_done_rows(stage, [(0, fp[0], fp[1], n_out, 0)])

@@ -362,3 +362,50 @@ def test_drop_clears_bucketed_catalog_entry(spark, tmp_path):
     # layout must read cleanly through the plain-parquet path
     io.write(df.withColumn("b", F.lit("x")), "t", partition_by=["b"])
     assert io.read("t").count() == 20
+
+
+def test_write_small_rows_roundtrip_matches_spark_writer(spark, tmp_path):
+    """The driver-local rows fast path (r8: ledger/stats writes
+    without a createDataFrame→collect round-trip) must land bytes a
+    Spark reader sees EXACTLY as the Spark writer's: same schema
+    (incl. the DDL alias 'long' → bigint), same values, and append
+    must accumulate. A fresh TableIO/driver reads both back equal."""
+    ddl = "stage string, part_id int, fingerprint long, n_in long, ts double"
+    rows = [("s1", 0, -(2**62) - 3, 10, 1.5), ("s2", 1, 7, 0, 2.25)]
+    io = TableIO(spark, str(tmp_path / "wh"))
+    io.write_small_rows(rows, ddl, "fast")
+    io.write(spark.createDataFrame(rows, ddl), "slow")
+    fast = io.read("fast", ddl)
+    slow = io.read("slow", ddl)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    io.write_small_rows([("s3", 2, 0, 1, 0.0)], ddl, "fast", mode="append")
+    assert io.read("fast", ddl).count() == 3
+    # driver-side fast read agrees with the Spark reader
+    got = sorted(tuple(d.values()) for d in io.read_small_rows("fast"))
+    assert got == sorted(map(tuple, io.read("fast", ddl).collect()))
+
+
+def test_checkpoint_rows_api_equivalent_and_durable(spark, tmp_path):
+    """mark_done_rows/completed_set/counter_sums (r8 driver-side
+    ledger) must behave exactly like the DataFrame API — including
+    across a FRESH CheckpointLog instance (cross-process resume reads
+    only the on-disk ledger)."""
+    from kgpipe.checkpoints import CheckpointLog
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    log = CheckpointLog(io)
+    log.mark_done_rows("a", [(0, 11, 5, 4, 1), (1, 22, 6, 6, 0)])
+    log.mark_done(
+        "b", spark.createDataFrame([(0, 33, 2, 2, 0)],
+                                   "part_id int, fingerprint long, n_in long, "
+                                   "n_out long, n_err long"),
+    )
+    for lg in (log, CheckpointLog(io)):  # warm cache AND fresh instance
+        assert lg.completed_set("a") == {(0, 11, 5), (1, 22, 6)}
+        assert lg.completed_set("b") == {(0, 33, 2)}
+        # DataFrame view agrees with the set view
+        assert {tuple(r) for r in lg.completed("a").collect()} == lg.completed_set("a")
+        sums = lg.counter_sums()
+        assert sums["a"] == {"n_in": 11, "n_out": 10, "n_err": 1}
+        assert sums["b"] == {"n_in": 2, "n_out": 2, "n_err": 0}
