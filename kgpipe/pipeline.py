@@ -240,7 +240,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
                 counters=_collect_counters(io, log),
             )
 
-    stage_fp = _stage_extract_parse_abbrev(spark, pages, cfg, io, log, rules)
+    stage_fp = _stage_extract_parse_abbrev(
+        spark, pages, cfg, io, log, rules,
+        async_stats=not cfg.incremental_link,
+    )
     triples = io.read("triples_raw", RAW_DDL).where(F.col("error").isNull())
 
     fp = None
@@ -258,8 +261,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
         # twice was a full extra pass over the table). Priority: the
         # run-manifest marker (same files → same triples, no scan),
         # then the extract stage's xor-combined per-partition
-        # fingerprints (full recomputes — zero extra jobs), then the
-        # dedicated scan (partial resumes only).
+        # fingerprints (full recomputes — zero extra jobs; on fresh
+        # warehouses stage_fp is a JOIN HANDLE whose stats scan runs
+        # concurrently with the link stage's edge derivation, guide
+        # §2.6 — _stage_link_canonicalize resolves it only at its
+        # mark_done), then the dedicated scan (partial resumes only).
         if marker_hit and marker.get("triples_fp") is not None:
             fp = (int(marker["triples_fp"]), int(marker["triples_n"]))
         elif stage_fp is not None:
@@ -267,9 +273,17 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig) -> 
         else:
             fp = _triples_fingerprint(triples)
         _stage_link_canonicalize(spark, triples, cfg, io, log, fp=fp)
+        if callable(fp):
+            fp = fp()  # already resolved inside the link stage — cheap
         cmap = io.read("canonical_map", CMAP_DDL)
         _stage_materialize(spark, triples, cmap, cfg, io, log, fp=fp)
     edges = _read_edges(io)
+
+    if callable(stage_fp):
+        # safety net for paths that never needed the value (e.g. fp
+        # served by the marker): the deferred stats/ledger append must
+        # be durable before counters are read
+        stage_fp()
 
     if manifest is not None:
         io.write_json_atomic(
@@ -302,8 +316,9 @@ def _read_edges(io: TableIO) -> DataFrame:
 
 
 def _stage_extract_parse_abbrev(
-    spark, pages, cfg, io: TableIO, log: CheckpointLog, rules: list[Rule]
-) -> tuple[int, int] | None:
+    spark, pages, cfg, io: TableIO, log: CheckpointLog, rules: list[Rule],
+    async_stats: bool = False,
+):
     """Fused narrow stage: html → text → (s,p,o,url) → abbreviated,
     one pass, checkpointed per url-hash partition.
 
@@ -316,7 +331,18 @@ def _stage_extract_parse_abbrev(
     #5 — the fp scan and the stats scan shared no work before).
     Returns None on partial resumes and no-op runs, where the ledger
     holds stats for partitions this run never scanned — callers fall
-    back to the marker fp or the full scan."""
+    back to the marker fp or the full scan.
+
+    async_stats=True (run_pipeline's non-incremental path): on a
+    FRESH warehouse the post-write stats scan + ledger append run in
+    a background thread and the return value is a memoized JOIN
+    HANDLE (zero-arg callable → the (fp, n) tuple) instead of the
+    tuple — the scan's tasks back-fill executors while the caller
+    starts the next stage's jobs (guide §2.6). Crash-safety is
+    unchanged: the ledger append still happens only after the write
+    succeeded, and a crash before the thread lands simply leaves the
+    partitions unlogged → recomputed on resume (the write is an
+    idempotent dynamic-partition overwrite)."""
     stage = "extract_parse_abbrev"
     src = with_part_id(pages.select("url", "html"), "url", cfg.n_parts)
 
@@ -381,51 +407,82 @@ def _stage_extract_parse_abbrev(
         # the isin() over the full range wrote the same bytes.
         pending = sorted(r["part_id"] for r in fps_rows)
 
-    # stats AFTER the write succeeded: crash before this point leaves
-    # the partitions unlogged → recomputed on resume. Counts come from
-    # a column-pruned scan of the freshly written parquet (cheap; the
-    # alternative recomputes the UDF chain).
-    counts = {
-        r["part_id"]: (r["n_out"], r["n_err"], r["tfp"])
-        for r in io.read("triples_raw", RAW_DDL)
-        .where(F.col("part_id").isin(pending))
-        .groupBy("part_id")
-        .agg(
-            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_out"),
-            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("n_err"),
-            # per-partition clean-triple fingerprint, same hash as
-            # _triples_fingerprint (aggregates skip the error rows'
-            # NULLs); xor of these across ALL partitions IS the
-            # whole-table fingerprint
-            F.coalesce(
-                F.bit_xor(
-                    F.when(F.col("error").isNull(), F.xxhash64("s", "p", "o"))
-                ),
-                F.lit(0),
-            ).alias("tfp"),
-        )
-        .collect()
-    }
-    pend = set(pending)
-    log.mark_done_rows(stage, [
-        (
-            r["part_id"],
-            r["fingerprint"],
-            r["n_in"],
-            counts.get(r["part_id"], (0, 0, 0))[0],
-            counts.get(r["part_id"], (0, 0, 0))[1],
-        )
-        for r in fps_rows
-        if r["part_id"] in pend
-    ])
-    if completed or len(pend) < len(fps_rows):
-        return None  # partial recompute: unseen partitions exist
-    mask = (1 << 64) - 1
-    u = 0
-    for n_out, _n_err, tfp in counts.values():
-        u ^= tfp & mask
-    fp = u - (1 << 64) if u >= (1 << 63) else u  # back to signed, as bit_xor emits
-    return fp, sum(c[0] for c in counts.values())
+    def _finish() -> tuple[int, int] | None:
+        # stats AFTER the write succeeded: crash before this point
+        # leaves the partitions unlogged → recomputed on resume.
+        # Counts come from a column-pruned scan of the freshly
+        # written parquet (cheap; the alternative recomputes the UDF
+        # chain).
+        counts = {
+            r["part_id"]: (r["n_out"], r["n_err"], r["tfp"])
+            for r in io.read("triples_raw", RAW_DDL)
+            .where(F.col("part_id").isin(pending))
+            .groupBy("part_id")
+            .agg(
+                F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("n_out"),
+                F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("n_err"),
+                # per-partition clean-triple fingerprint, same hash as
+                # _triples_fingerprint (aggregates skip the error
+                # rows' NULLs); xor of these across ALL partitions IS
+                # the whole-table fingerprint
+                F.coalesce(
+                    F.bit_xor(
+                        F.when(F.col("error").isNull(), F.xxhash64("s", "p", "o"))
+                    ),
+                    F.lit(0),
+                ).alias("tfp"),
+            )
+            .collect()
+        }
+        pend = set(pending)
+        log.mark_done_rows(stage, [
+            (
+                r["part_id"],
+                r["fingerprint"],
+                r["n_in"],
+                counts.get(r["part_id"], (0, 0, 0))[0],
+                counts.get(r["part_id"], (0, 0, 0))[1],
+            )
+            for r in fps_rows
+            if r["part_id"] in pend
+        ])
+        if completed or len(pend) < len(fps_rows):
+            return None  # partial recompute: unseen partitions exist
+        mask = (1 << 64) - 1
+        u = 0
+        for n_out, _n_err, tfp in counts.values():
+            u ^= tfp & mask
+        # back to signed, as bit_xor emits
+        fp = u - (1 << 64) if u >= (1 << 63) else u
+        return fp, sum(c[0] for c in counts.values())
+
+    if not (async_stats and fps_thread is not None):
+        return _finish()
+
+    # deferred tail: the caller's next stage only needs the fp at its
+    # OWN mark_done, so the stats scan overlaps with that stage's
+    # derivation jobs. The handle memoizes; a failure in the thread
+    # re-raises on first join.
+    from pyspark import InheritableThread
+
+    box: dict = {}
+
+    def _runner():
+        try:
+            box["fp"] = _finish()
+        except BaseException as e:
+            box["err"] = e
+
+    th = InheritableThread(target=_runner)
+    th.start()
+
+    def join_handle() -> tuple[int, int] | None:
+        th.join()
+        if "err" in box:
+            raise box["err"]
+        return box["fp"]
+
+    return join_handle
 
 
 def _triples_fingerprint(triples) -> tuple[int, int]:
@@ -443,9 +500,18 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     components → canonical_map. Whole-stage checkpoint (part_id 0):
     the CC iteration is global, not per-partition."""
     stage = "link_canonicalize"
-    fp = fp if fp is not None else _triples_fingerprint(triples)
+    fp_lazy = fp if callable(fp) else None
     done = log.completed_set(stage)
-    if (0, fp[0], fp[1]) in done and io.exists("canonical_map"):
+    if fp_lazy is not None:
+        # deferred extract-stage stats (guide §2.6): resolve now only
+        # if a skip decision actually needs the value — on the fresh
+        # path `done` is empty and the handle is joined after the
+        # cmap write, overlapping the stats scan with this stage's
+        # own jobs
+        fp = fp_lazy() if done else None
+    elif fp is None:
+        fp = _triples_fingerprint(triples)
+    if fp is not None and (0, fp[0], fp[1]) in done and io.exists("canonical_map"):
         return
 
     # non-distinct sameAs projection: connected_components dedups its
@@ -509,6 +575,11 @@ def _stage_link_canonicalize(spark, triples, cfg, io: TableIO, log: CheckpointLo
     # cached blocks must not outlive the stage: the session is often
     # shared across pipeline runs (tests, notebooks)
     edges.unpersist(blocking=False)
+    if fp is None:
+        # join the deferred stats — outputs are durable; the handle
+        # only returns None on partial recomputes, which the async
+        # path never takes (fresh warehouse ⇒ full recompute)
+        fp = fp_lazy() or _triples_fingerprint(triples)
     log.mark_done_rows(stage, [(0, fp[0], fp[1], n_out, 0)])
 
 
