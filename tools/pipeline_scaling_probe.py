@@ -94,6 +94,13 @@ def main() -> None:
     best = {k: max(v, key=lambda r: r["tps"]) for k, v in results.items()}
     eff = best[("big", hi)]["tps"] / ((hi / lo) * best[("big", lo)]["tps"])
     sustain = best[("big", hi)]["tps"] / best[("small", hi)]["tps"]
+    # matched-rep pairs: a ratio metric belongs to runs sharing host
+    # conditions (r7 synthesis), so the per-rep pair efficiencies are
+    # first-class output alongside the best-of-cells estimator
+    pairs = [
+        (r4["tps"] / ((hi / lo) * r1["tps"]), r1["load"], r4["load"])
+        for r1, r4 in zip(results[("big", lo)], results[("big", hi)])
+    ]
     section = [
         f"\n## FULL-pipeline scaling probe — {args.pages:,} pages, local[{lo}] vs local[{hi}]\n",
         "\nWhole pipeline (extract→parse→abbrev→link→CC→materialize, fresh",
@@ -107,6 +114,12 @@ def main() -> None:
         f"×{sustain:.2f} as the corpus grows {args.pages // args.baseline_pages}× "
         "(≈flat or rising ⇒ fixed costs amortize; the pipeline's cost is "
         "linear in data).\n",
+        "\nMatched-rep pair efficiencies (ratios within one rep share "
+        "host conditions): "
+        + ", ".join(
+            f"**{e:.3f}** (loads {l1:.2f}/{l4:.2f})" for e, l1, l4 in pairs
+        )
+        + f"; load gate {os.environ.get('SPARK_GRAFT_PROBE_LOADGATE', '3.0')}.\n",
         "\nAll runs: `" + json.dumps({f"{t}[{c}]": v for (t, c), v in results.items()}) + "`\n",
         f"\nGenerated {time.strftime('%Y-%m-%dT%H:%M:%S%z')} by tools/pipeline_scaling_probe.py\n",
     ]
