@@ -787,15 +787,35 @@ def ivf_topk(
             corpus, cents, id_col, vec_col, n_iter=refine_iters, assign_strategy=assign
         )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # candidate-side projections are FUSED into one select per branch:
+    # every DataFrame op on the literal path re-analyzes a plan
+    # carrying the (n_centroids × dim)-double literal array, and the
+    # JVM analysis passes — not the Python calls — were measured as
+    # the bulk of the per-invocation build cost (§7.3 "planning time").
+    # The fused selects compute the same named columns (norms once per
+    # SIDE, same expressions, same order), so values are unchanged;
+    # ||q|| now evaluates under the probe explode (once per query row,
+    # duplicated across its probe rows) instead of above it — the same
+    # deterministic value either way.
     if assign == "join":
         dim = probe_dim(corpus, vec_col)
-        corpus_assigned = assign_clusters_join(corpus, cents, id_col, vec_col)
-        probes = _probe_clusters_fold(q, _centroids_prepped(cents, vec_col), nprobe)
+        corpus_side = assign_clusters_join(corpus, cents, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_named(vec_col, dim).alias("__cn"),
+            "cluster_id",
+        )
+        probes = _probe_clusters_fold(
+            q, _centroids_prepped(cents, vec_col), nprobe
+        ).withColumn("__qn", norm_named("qv", dim))
     else:
         cent_arr, dim = _centroid_literal_array_with_dim(cents, vec_col)
-        corpus_assigned = corpus.withColumn(
-            "cluster_id",
-            F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))["cid"],
+        corpus_side = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            norm_named(vec_col, dim).alias("__cn"),
+            F.array_max(_centroid_rank_structs(F.col(vec_col), cent_arr))["cid"]
+            .alias("cluster_id"),
         )
         # nprobe nearest clusters per query: sort the rank structs
         # descending (reverse of the ascending lexicographic sort →
@@ -806,23 +826,20 @@ def ivf_topk(
             nprobe,
         )
         probes = q.select(
-            "query_id", "qv", F.explode(top_probes.getField("cid")).alias("cluster_id")
+            "query_id",
+            "qv",
+            norm_named("qv", dim).alias("__qn"),
+            F.explode(top_probes.getField("cid")).alias("cluster_id"),
         )
 
     # candidate scoring with per-SIDE precomputed norms: ||c|| is
     # evaluated once per corpus row (below the join) and ||q|| once
-    # per probe row, instead of once per CANDIDATE pair; the score
-    # dot/(qn*cn) evaluates the same expressions in the same order as
-    # the inline cosine(), so values are bit-identical.
-    cand = probes.withColumn("__qn", norm_named("qv", dim)).join(
-        corpus_assigned.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cv"),
-            norm_named(vec_col, dim).alias("__cn"),
-            "cluster_id",
-        ),
-        "cluster_id",
-    ).where(F.col("query_id") != F.col("neighbor_id"))
+    # per probe/query row, instead of once per CANDIDATE pair; the
+    # score dot/(qn*cn) evaluates the same expressions in the same
+    # order as the inline cosine(), so values are bit-identical.
+    cand = probes.join(corpus_side, "cluster_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     # no dropDuplicates: every (query, neighbor) appears at most once
     # by construction — a corpus row is assigned to exactly ONE
     # cluster and each query's probe list holds DISTINCT cluster ids
