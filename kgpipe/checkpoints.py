@@ -126,6 +126,19 @@ class CheckpointLog:
             c["n_err"] += r[5]
         return out
 
+    def last_n_out(self, stage: str) -> int | None:
+        """n_out of the most recent 'done' row for a stage (None when
+        the stage has no ledger row) — a free driver-side size signal
+        for downstream join-strategy decisions (e.g. whether the
+        canonical map fits the broadcast budget)."""
+        best = None
+        for r in self._load():
+            if r[0] == stage and r[6] == "done" and (
+                best is None or r[7] > best[7]
+            ):
+                best = r
+        return None if best is None else int(best[4])
+
     def mark_done_rows(self, stage: str, rows: list[tuple]) -> None:
         """rows: [(part_id, fingerprint, n_in, n_out, n_err)] —
         driver-local, appended to the ledger without building a Spark

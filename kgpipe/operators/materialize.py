@@ -23,6 +23,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Broadcast budget for the canonical map (rows of (uri, canon_id)
+# strings ≈ 100-150 B serialized each ⇒ ~4M rows ≈ 0.5 GB): above it
+# the materialize callers fall back to the sort-merge join the module
+# docstring promises — every executor holds a full broadcast copy, so
+# an unconditional broadcast of a corpus-sized map is a driver/executor
+# OOM at 10^12-page scale (same budget philosophy as the link stage's
+# CHANGED_BROADCAST_LIMIT and capped_buckets' broadcast_key_limit).
+CMAP_BROADCAST_LIMIT = 4_000_000
+
 
 def canonicalize_triples(
     triples: DataFrame,

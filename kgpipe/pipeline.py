@@ -39,7 +39,11 @@ from kgpipe.operators.link import (
     sameas_edges_from_triples,
     verified_neardup_edges,
 )
-from kgpipe.operators.materialize import canonicalize_triples, edges_with_buckets
+from kgpipe.operators.materialize import (
+    CMAP_BROADCAST_LIMIT,
+    canonicalize_triples,
+    edges_with_buckets,
+)
 from kgpipe.operators.parse import parse_pages_to_triples
 
 
@@ -1403,9 +1407,20 @@ def _stage_materialize_incremental(spark, triples, cmap, cfg, io: TableIO, log: 
         # the full layer's tag is a DEDICATED namespace — never a
         # batch id: a rebuild tagged with a pending batch id would be
         # "re-applied" by a later retry's dynamic overwrite, replacing
-        # the whole corpus's rows with delta-only rows
+        # the whole corpus's rows with delta-only rows.
+        # Broadcast only while the map fits the budget (module
+        # contract); the rebuild is a rare, minutes-scale path, so an
+        # early-stopping probe of the non-identity rows is fine here.
+        n_cmap = (
+            cmap.where(F.col("uri") != F.col("canon_id"))
+            .limit(CMAP_BROADCAST_LIMIT + 1)
+            .count()
+        )
         out = edges_with_buckets(
-            canonicalize_triples(triples, cmap, broadcast_map=True), cfg.n_buckets
+            canonicalize_triples(
+                triples, cmap, broadcast_map=n_cmap <= CMAP_BROADCAST_LIMIT
+            ),
+            cfg.n_buckets,
         ).withColumn("b_fp", F.lit("full"))
         out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         io.drop("edges")  # stale layers must not outlive a rebuild
@@ -1444,6 +1459,9 @@ def _stage_materialize_incremental(spark, triples, cmap, cfg, io: TableIO, log: 
         m_eff = m_fixed.union(
             changed.select(F.col("old_c").alias("uri"), F.col("new_c").alias("canon_id"))
         ).distinct()
+        # broadcast stays unconditional HERE: m_eff is delta-sized by
+        # construction — pending-batch term maps plus a change set the
+        # CHANGED_BROADCAST_LIMIT gate already bounded above
         delta_new = edges_with_buckets(
             canonicalize_triples(
                 delta_triples, m_eff, broadcast_map=True, keep_cols=["batch_fp"],
@@ -1476,8 +1494,26 @@ def _stage_materialize(spark, triples, cmap, cfg, io: TableIO, log: CheckpointLo
     if (0, fp[0], fp[1]) in done and io.exists("edges"):
         return
 
+    # join strategy per the materialize module contract: broadcast the
+    # map only while it fits the budget. The size signal is FREE — the
+    # link stage's ledger row records the cmap row count (n_out from
+    # its write-time Observation), so no probe job runs on this hot
+    # path; a missing row (defensive) probes with an early-stopping
+    # limit+count. Row counts above the budget switch to the
+    # sort-merge join (AQE skew-split covers hot canon ids) — same
+    # output, no corpus-sized broadcast (driver/executor OOM at scale).
+    n_cmap = log.last_n_out("link_canonicalize")
+    if n_cmap is None:
+        n_cmap = (
+            cmap.where(F.col("uri") != F.col("canon_id"))
+            .limit(CMAP_BROADCAST_LIMIT + 1)
+            .count()
+        )
     edges = edges_with_buckets(
-        canonicalize_triples(triples, cmap, broadcast_map=True), cfg.n_buckets
+        canonicalize_triples(
+            triples, cmap, broadcast_map=n_cmap <= CMAP_BROADCAST_LIMIT
+        ),
+        cfg.n_buckets,
     )
     obs = Observation()
     edges = edges.observe(obs, F.count(F.lit(1)).alias("n"))

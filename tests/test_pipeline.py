@@ -992,3 +992,39 @@ def test_merge_storm_triggers_full_rebuild(spark, tmp_path):
     got = collections.Counter((r.canon_s, r.p, r.canon_o) for r in res.edges.collect())
     exp = collections.Counter((r.canon_s, r.p, r.canon_o) for r in ref.edges.collect())
     assert got == exp
+
+
+def test_materialize_broadcast_gate_output_identical(spark, tmp_path, monkeypatch):
+    """r8: the materialize stage broadcasts the canonical map only
+    while it fits CMAP_BROADCAST_LIMIT (the module contract — an
+    unconditional broadcast of a corpus-sized map OOMs at scale).
+    Forcing the gate to 0 must route through the sort-merge join and
+    produce BIT-identical edges; the gate's size signal (the link
+    stage's ledger n_out) must match the real cmap row count."""
+    import collections
+
+    import kgpipe.pipeline as P
+
+    pages = spark.createDataFrame(gen_pages(40))
+    res_a = run_pipeline(
+        spark,
+        pages,
+        PipelineConfig(warehouse=str(tmp_path / "wa"), rules_text=RULES_16_TEXT,
+                       mode="compat", n_parts=4),
+    )
+    monkeypatch.setattr(P, "CMAP_BROADCAST_LIMIT", 0)
+    res_b = run_pipeline(
+        spark,
+        pages,
+        PipelineConfig(warehouse=str(tmp_path / "wb"), rules_text=RULES_16_TEXT,
+                       mode="compat", n_parts=4),
+    )
+    a = collections.Counter((r.canon_s, r.p, r.canon_o) for r in res_a.edges.collect())
+    b = collections.Counter((r.canon_s, r.p, r.canon_o) for r in res_b.edges.collect())
+    assert a == b and sum(a.values()) > 0
+    # the free size signal equals the written cmap row count
+    from kgpipe.checkpoints import CheckpointLog
+    from kgpipe.io import TableIO
+
+    log = CheckpointLog(TableIO(spark, str(tmp_path / "wa")))
+    assert log.last_n_out("link_canonicalize") == res_a.canonical_map.count()
