@@ -429,6 +429,205 @@ def cell_d_stacked(spark, n_edges: int, out: dict, n_batches: int = 8) -> None:
     print("CELL D:", json.dumps(out["stacked"]), flush=True)
 
 
+def cell_d2_storm(spark, n_edges: int, out: dict) -> None:
+    """Merge-storm fallback IN-OPERATOR at full scale (r7 verdict
+    next #4): drive `_stage_materialize_incremental` itself with 8
+    pending batches whose composed change set exceeds
+    CHANGED_BROADCAST_LIMIT over the n_edges-edge LAYERED table, and
+    pin the fallback rebuild's edge table digest-equal to a scratch
+    recompute.
+
+    The layered initial state is laid down BY the stage (a first call
+    with one batch and no edge table takes the rebuild path and
+    writes the b_fp=full layer, its coverage marker, MAT_STATE and
+    the ledger row), so every marker/layout detail is
+    production-written, not hand-crafted. The storm call then sees 8
+    pending batches, composes their label changes (every component
+    relabeled — millions of rows at full scale), trips the broadcast
+    budget, and falls back to one full
+    rebuild — which also exercises the r8 CMAP_BROADCAST_LIMIT join
+    gate for real: the post-merge map's non-identity rows are ~0.8 ×
+    n_edges, far over the 4M-row broadcast budget, so the
+    canonicalize join runs as sort-merge (the pre-r8 unconditional
+    broadcast would have attempted a multi-GB broadcast here)."""
+    import shutil
+
+    from kgpipe.checkpoints import CheckpointLog
+    from kgpipe.fixtures import RULES_16_TEXT
+    from kgpipe.io import TableIO
+    from kgpipe.operators.cc import canonical_map_for_nodes
+    from kgpipe.operators.materialize import (
+        CMAP_BROADCAST_LIMIT,
+        canonicalize_triples,
+        edges_with_buckets,
+    )
+    from kgpipe.pipeline import (
+        CHANGED_BROADCAST_LIMIT,
+        CHANGES_DDL,
+        DELTA_TRIPLES_DDL,
+        EDGES_INC_DDL,
+        LINKED_URLS_DDL,
+        TERM_MAPS_DDL,
+        PipelineConfig,
+        _compose_changes,
+        _stage_materialize_incremental,
+    )
+
+    epath = os.path.join(out["workdir"], "edges")
+    if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+        zipf_graph(spark, n_edges).write.mode("overwrite").parquet(epath)
+    e = spark.read.parquet(epath)
+    base_map_path = os.path.join(out["workdir"], "base_map")
+    if not os.path.exists(os.path.join(base_map_path, "_SUCCESS")):
+        canonical_map_for_nodes(
+            e.select(F.col("src").alias("uri")).union(
+                e.select(F.col("dst").alias("uri"))
+            ),
+            e, max_iter=30,
+        ).write.mode("overwrite").parquet(base_map_path)
+    base_map = spark.read.parquet(base_map_path)
+    triples = e.select(
+        F.col("src").alias("s"),
+        F.lit("http://www.w3.org/2002/07/owl#sameAs").alias("p"),
+        F.col("dst").alias("o"),
+    )
+
+    wh = os.path.join(out["workdir"], "d2_wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    io = TableIO(spark, wh)
+    log = CheckpointLog(io)
+    cfg = PipelineConfig(
+        warehouse=wh, rules_text=RULES_16_TEXT, mode="compat",
+        n_buckets=32, incremental_link=True,
+    )
+
+    # ---- batch b0: initial full materialize lays down the layered state
+    io.write(
+        spark.createDataFrame([("seed-url", 0, "b0")], LINKED_URLS_DDL),
+        "linked_urls",
+    )
+    # handoff tables must EXIST for the storm call's pre-gate (their
+    # content is only read on the delta path, which the storm skips)
+    io.write(spark.createDataFrame([], DELTA_TRIPLES_DDL), "delta_triples")
+    io.write(spark.createDataFrame([], TERM_MAPS_DDL), "term_maps")
+    load0 = wait_quiet()
+    t0 = time.monotonic()
+    _stage_materialize_incremental(spark, triples, base_map, cfg, io, log)
+    t_init = time.monotonic() - t0
+
+    # ---- 8 pending batches: the component labels split in 8 disjoint
+    # slices, each relabeled to fresh m{i}-prefixed labels — a true
+    # merge storm (every component touched). The composition is their
+    # union; at full scale it dwarfs the broadcast budget on its own,
+    # and at smoke scales no-op pad rows (old labels that match
+    # nothing — they relabel no edge and leave cmap_final untouched)
+    # push the composed COUNT past the budget so the same gate fires.
+    roots = base_map.select("canon_id").distinct()
+    slices = [
+        roots.where(F.pmod(F.xxhash64("canon_id", F.lit(1234)), F.lit(8)) == i - 1)
+        .select(
+            F.col("canon_id").alias("old_c"),
+            F.concat(F.lit(f"m{i}x"), F.col("canon_id")).alias("new_c"),
+            F.lit(f"b{i}").alias("batch_fp"),
+        )
+        for i in range(1, 9)
+    ]
+    changes_all = slices[0]
+    for s in slices[1:]:
+        changes_all = changes_all.union(s)
+    n_real = changes_all.count()
+    if n_real <= CHANGED_BROADCAST_LIMIT:
+        pad_per_batch = (CHANGED_BROADCAST_LIMIT - n_real) // 8 + 20_000
+        for i in range(1, 9):
+            changes_all = changes_all.union(
+                spark.range(pad_per_batch).select(
+                    F.concat(F.lit(f"pad{i}_"), F.col("id").cast("string")).alias("old_c"),
+                    F.concat(F.lit(f"q{i}_"), F.col("id").cast("string")).alias("new_c"),
+                    F.lit(f"b{i}").alias("batch_fp"),
+                )
+            )
+    io.write(changes_all, "canon_changes", partition_by=["batch_fp"])
+    io.write(
+        spark.createDataFrame(
+            [("seed-url", 0, "b0")] + [(f"u-b{i}", 0, f"b{i}") for i in range(1, 9)],
+            LINKED_URLS_DDL,
+        ),
+        "linked_urls",
+    )
+    n_composed = _compose_changes(
+        io.read("canon_changes", CHANGES_DDL).select("old_c", "new_c"), 8
+    ).count()
+    cmap_final = (
+        base_map.join(
+            io.read("canon_changes", CHANGES_DDL)
+            .select(F.col("old_c").alias("canon_id"), "new_c"),
+            "canon_id", "left",
+        )
+        .select("uri", F.coalesce("new_c", "canon_id").alias("canon_id"))
+    )
+    n_nontrivial = (
+        cmap_final.where(F.col("uri") != F.col("canon_id"))
+        .limit(CMAP_BROADCAST_LIMIT + 1)
+        .count()
+    )
+
+    # ---- the storm call: composes the 8 batches, trips the budget,
+    # falls back to ONE full rebuild through the gated SMJ join
+    load1 = wait_quiet()
+    t0 = time.monotonic()
+    _stage_materialize_incremental(spark, triples, cmap_final, cfg, io, log)
+    t_storm = time.monotonic() - t0
+
+    # ---- pins: digest vs scratch; single full layer covering all 9
+    def edge_digest(df) -> tuple[int, int, int]:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("canon_s", "p", "canon_o")).alias("x"),
+            # edge rows are a MULTISET (repeated (src,dst) pairs occur)
+            # and xor cancels even multiplicities — the modular sum
+            # breaks that tie (values < 2^31, ANSI-safe at any count)
+            F.sum(
+                F.pmod(F.xxhash64("canon_s", "p", "canon_o"), F.lit(1_000_000_007))
+            ).alias("s"),
+        ).collect()[0]
+        return int(r["n"]), int(r["x"]), int(r["s"])
+
+    got = edge_digest(io.read("edges", EDGES_INC_DDL).select("canon_s", "p", "canon_o"))
+    scratch = edge_digest(
+        edges_with_buckets(
+            canonicalize_triples(triples, cmap_final, broadcast_map=False), cfg.n_buckets
+        ).select("canon_s", "p", "canon_o")
+    )
+    assert got == scratch, (got, scratch)
+    layers = sorted({d.split("=", 1)[1] for d in os.listdir(io._local_dir("edges"))
+                     if d.startswith("b_fp=")})
+    assert layers == ["full"], layers
+    from kgpipe.pipeline import _layer_marker
+
+    marker = io.read_json(_layer_marker("full")) or {}
+
+    out["storm"] = {
+        "base_edges": n_edges,
+        "pending_batches": 8,
+        "composed_changes": n_composed,
+        "changed_broadcast_limit": CHANGED_BROADCAST_LIMIT,
+        "storm_triggered": n_composed > CHANGED_BROADCAST_LIMIT,
+        "cmap_nontrivial_rows_probe": n_nontrivial,
+        "cmap_broadcast_limit": CMAP_BROADCAST_LIMIT,
+        "rebuild_join": "sort-merge (over broadcast budget)"
+        if n_nontrivial > CMAP_BROADCAST_LIMIT else "broadcast",
+        "initial_full_materialize_s": round(t_init, 1),
+        "storm_fallback_rebuild_s": round(t_storm, 1),
+        "edges_rows": got[0],
+        "digest_match_vs_scratch": True,
+        "layers_after": layers,
+        "marker_covers_batches": len(marker.get("batches", [])),
+        "loads": [load0, load1],
+    }
+    print("CELL D2:", json.dumps(out["storm"]), flush=True)
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=50_000_000)
@@ -458,6 +657,8 @@ def main() -> None:
             cell_c_merge(spark, args.edges, out)
         if "d" in args.cells:
             cell_d_stacked(spark, args.edges, out)
+        if "s" in args.cells:
+            cell_d2_storm(spark, args.edges, out)
         out.pop("workdir", None)
         print("STRESS_RESULT " + json.dumps(out), flush=True)
     finally:
